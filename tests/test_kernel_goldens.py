@@ -1,0 +1,142 @@
+"""Kernel vs executed-reference goldens — the span-equality source of truth.
+
+goldens.json is produced by tools/gen_goldens.py, which EXECUTES the
+reference extractors at /root/reference on the fixture corpus (SURVEY.md
+§5.3: the reference's own test assertions diverge from its behavior, so
+executed outputs are the spec).
+"""
+
+from __future__ import annotations
+
+from datetime import date
+from decimal import Decimal
+
+import pandas as pd
+import pytest
+
+from ocr_spark.corpus import COMPANIES, SUPPLIERS
+from ocr_spark.kernel import basic, llm, swiss
+from ocr_spark.kernel.textnorm import clean_llm, clean_swiss
+
+
+def _decode(v):
+    if isinstance(v, dict) and "__decimal__" in v:
+        return Decimal(v["__decimal__"])
+    if isinstance(v, dict) and "__date__" in v:
+        return date.fromisoformat(v["__date__"])
+    if isinstance(v, dict):
+        return {k: _decode(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_decode(x) for x in v]
+    return v
+
+
+def _norm(v):
+    """None-vs-NaN and float-vs-None normalization for comparisons."""
+    if v is None:
+        return None
+    if isinstance(v, float) and pd.isna(v):
+        return None
+    return v
+
+
+@pytest.fixture(scope="module")
+def texts(goldens):
+    return {name: e["text"] for name, e in goldens.items()}
+
+
+def test_basic_family_matches_reference(goldens, texts):
+    names = list(texts)
+    out = basic.extract(pd.Series([texts[n] for n in names]))
+    for i, name in enumerate(names):
+        g = _decode(goldens[name]["basic"])
+        row = out.iloc[i]
+        sup = g["supplier"] or {}
+        assert _norm(row["supplier_name"]) == sup.get("name"), name
+        assert _norm(row["siret"]) == sup.get("siret"), name
+        assert _norm(row["vat_number"]) == sup.get("vat_number"), name
+        cust = g["customer"] or {}
+        assert _norm(row["customer_name"]) == cust.get("name"), name
+        assert _norm(row["customer_id"]) == cust.get("customer_id"), name
+        inv = g["invoice"] or {}
+        assert _norm(row["invoice_number"]) == inv.get("number"), name
+        assert row["currency"] == inv.get("currency"), name
+        totals = g["totals"] or {}
+        for field in ("subtotal_excl_vat", "total_vat", "total_incl_vat", "amount_due"):
+            assert _norm(row[field]) == totals.get(field), (name, field)
+        gitems = g["line_items"]
+        assert len(row["line_items"]) == len(gitems), name
+        for mine, ref in zip(row["line_items"], gitems):
+            for k in ("description", "quantity", "unit_price", "amount_excl_vat",
+                      "vat_rate", "vat_amount", "amount_incl_vat"):
+                assert mine[k] == ref[k], (name, k)
+        assert row["confidence"] == g["metadata"]["confidence_score"], name
+        val = g["validation"]
+        assert row["calculation_check"] == val["calculation_check"], name
+        assert row["required_fields_present"] == val["required_fields_present"], name
+        assert row["data_quality_score"] == val["data_quality_score"], name
+
+
+def test_llm_family_matches_reference(goldens, texts):
+    names = list(texts)
+    out = llm.extract(
+        pd.Series([texts[n] for n in names]),
+        as_of_date=date(2025, 8, 19),
+        companies=COMPANIES,
+        suppliers=SUPPLIERS,
+    )
+    cleaned = clean_llm(pd.Series([texts[n] for n in names]))
+    for i, name in enumerate(names):
+        g = _decode(goldens[name]["llm"])
+        row = out.iloc[i]
+        assert cleaned.iloc[i] == g["clean_text"], name
+        assert row["invoice_number"] == g["invoice_number"], name
+        assert _norm(row["invoice_date"]) == g["dates"].get("invoice_date"), name
+        assert _norm(row["due_date"]) == g["dates"].get("due_date"), name
+        for slot in ("total_ttc", "total_ht", "tva", "amount_generic"):
+            assert _norm(row[slot]) == g["amounts"].get(slot), (name, slot)
+        assert row["currency"] == g["currency"], name
+        assert _norm(row["email"]) == g["contact"].get("email"), name
+        assert _norm(row["phone"]) == g["contact"].get("phone"), name
+        assert row["company_erp_code"] == g["company"], name
+        assert row["supplier_name"] == g["supplier"], name
+
+
+def test_swiss_family_matches_reference(goldens, texts):
+    names = list(texts)
+    out = swiss.extract(pd.Series([texts[n] for n in names]))
+    cleaned = clean_swiss(pd.Series([texts[n] for n in names]))
+    for i, name in enumerate(names):
+        g = _decode(goldens[name]["swiss"])
+        if g.get("failed"):
+            continue  # reference raised (InvalidOperation); ours degrades
+        row = out.iloc[i]
+        assert cleaned.iloc[i] == g["clean_text"], name
+        assert _norm(row["invoice_number"]) == g["invoice_number"], name
+        assert _norm(row["invoice_date"]) == g.get("invoice_date"), name
+        assert row["currency"] == g["currency"], name
+        for slot in ("total_ttc", "total_ht", "tva"):
+            assert _norm(row[slot]) == g["amounts"].get(slot), (name, slot)
+
+
+def test_basic_date_lattice():
+    # tests/test_use_cases.py:368-374 — the one golden that matches the test
+    cases = {
+        "19/08/2025": date(2025, 8, 19),
+        "19-08-2025": date(2025, 8, 19),
+        "19.08.2025": date(2025, 8, 19),
+        "2025/08/19": date(2025, 8, 19),
+        "2025-08-19": date(2025, 8, 19),
+        "not-a-date": None,
+    }
+    for raw, expected in cases.items():
+        assert basic.parse_date(raw) == expected, raw
+
+
+def test_siret_pattern_edges():
+    # FIXTURES.md §3 F-SIRET: 15 digits → first 14 extracted (unanchored greed)
+    out = basic.extract(pd.Series([
+        "SIRET: 12345678901234", "SIRET: 123", "SIRET: abcdefghijklmn",
+        "SIRET: 123456789012345",
+    ]))
+    assert list(out["siret"]) == ["12345678901234", None, None, "12345678901234"]
