@@ -1,9 +1,10 @@
 """Span-level content resolution, field extraction, and output assembly.
 
-This is the one batch entrypoint (:func:`process_batch`) that both the
-Spark `mapInArrow` stage and the golden-fixture generator call, so the
-span-sequence invariant ``(kind, text, media_ref, order)`` (FIXTURES.md §4)
-has a single source of truth.
+These batch functions are the single source of truth for the span-sequence
+invariant ``(kind, text, media_ref, order)`` (FIXTURES.md §4): the Spark
+pipeline (ocr_spark.operators.extract) calls them inside `mapInPandas` /
+`applyInPandas` stages, and the e2e tests call them directly on pandas
+frames to compute expected outputs.
 
 Per input span, in offset order, the output sequence is:
 
@@ -35,6 +36,12 @@ from ocr_spark.schemas import FIELD_SPAN_ORDER
 DEFAULT_AS_OF = date(2025, 8, 19)  # pipeline as_of_date (FIXTURES.md §5)
 IMAGE_MARKER = b"FAKEIMG:"
 
+FIELDS_COLUMNS = [
+    "doc_id", "kind", "media_ref", "offset", "norm_text",
+    *FIELD_SPAN_ORDER, "confidence",
+]
+SPAN_ROW_COLUMNS = ["doc_id", "offset", "seq", "kind", "text", "media_ref"]
+
 
 def resolve_content(kind: str, text: str | None, payload: bytes | None) -> str:
     """Raw text content of a span, before any extractor-family cleaning."""
@@ -46,48 +53,113 @@ def resolve_content(kind: str, text: str | None, payload: bytes | None) -> str:
         if payload is None:
             return ""
         try:
-            return "\n".join(t for _, t in pdfdoc.parse_pages(payload))
+            return "\n".join(t for _, t in pdfdoc.parse_pages(bytes(payload)))
         except NotImplementedError:
             return ""
     if kind == "image":
         # deterministic stub: real raster decode + OCR needs cv2/tesseract,
-        # absent here; payloads carry a marker with the "OCR" text.
-        if payload and payload.startswith(IMAGE_MARKER):
-            return payload[len(IMAGE_MARKER):].decode("utf-8", errors="replace")
+        # absent here; synthetic payloads carry a marker with the "OCR" text.
+        if payload:
+            payload = bytes(payload)
+            if payload.startswith(IMAGE_MARKER):
+                return payload[len(IMAGE_MARKER):].decode("utf-8", errors="replace")
         return ""
     return text or ""
 
 
-def normalize_content(kind: str, content: str) -> str:
-    """Kind-specific normalized text for the output 'text' span."""
-    series = pd.Series([content])
-    if kind == "ocr":
-        return textnorm.normalize_ocr(series).iloc[0]
-    return textnorm.clean_llm(series).iloc[0]
+def resolve_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Add a ``content`` column; drops the payload column."""
+    payloads = batch["payload"] if "payload" in batch.columns else [None] * len(batch)
+    content = [
+        resolve_content(k, t, p)
+        for k, t, p in zip(batch["kind"], batch["text"], payloads)
+    ]
+    out = batch[["doc_id", "kind", "media_ref", "offset"]].copy()
+    out["content"] = content
+    return out
+
+
+def split_pdf_pages(batch: pd.DataFrame) -> pd.DataFrame:
+    """Oversized-PDF skew mitigation, map side: one row per page.
+
+    Input columns: doc_id, kind, media_ref, offset, payload.
+    Output columns: doc_id, kind, media_ref, offset, page_no, page_text.
+    """
+    rows = []
+    for _, r in batch.iterrows():
+        payload = r["payload"]
+        pages: list[tuple[int, str]]
+        try:
+            pages = pdfdoc.parse_pages(bytes(payload)) if payload is not None else []
+        except NotImplementedError:
+            pages = []
+        if not pages:
+            pages = [(1, "")]
+        for page_no, text in pages:
+            rows.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "kind": r["kind"],
+                    "media_ref": r["media_ref"],
+                    "offset": int(r["offset"]),
+                    "page_no": int(page_no),
+                    "page_text": text,
+                }
+            )
+    return pd.DataFrame.from_records(rows, columns=[
+        "doc_id", "kind", "media_ref", "offset", "page_no", "page_text"])
+
+
+def reassemble_pages(group: pd.DataFrame) -> pd.DataFrame:
+    """Reduce side of the page split: pages sorted by page_no → content."""
+    g = group.sort_values("page_no")
+    first = g.iloc[0]
+    return pd.DataFrame.from_records(
+        [
+            {
+                "doc_id": first["doc_id"],
+                "kind": first["kind"],
+                "media_ref": first["media_ref"],
+                "offset": int(first["offset"]),
+                "content": "\n".join(g["page_text"].fillna("")),
+            }
+        ]
+    )
+
+
+def normalize_content(kinds: pd.Series, contents: pd.Series) -> pd.Series:
+    """Kind-specific normalized text for the output 'text' span (batched)."""
+    out = textnorm.clean_llm(contents)
+    ocr_mask = kinds == "ocr"
+    if ocr_mask.any():
+        out = out.where(~ocr_mask, textnorm.normalize_ocr(contents[ocr_mask]))
+    return out
 
 
 def _dec(v) -> Decimal | None:
     return v if isinstance(v, Decimal) else (None if v is None else Decimal(str(v)))
 
 
-def merged_fields(
-    contents: pd.Series,
+def fields_batch(
+    resolved: pd.DataFrame,
     as_of_date: date = DEFAULT_AS_OF,
     companies: list[dict] | None = None,
     suppliers: list[dict] | None = None,
 ) -> pd.DataFrame:
-    """LLM ▷ Swiss ▷ default merge over a batch of raw span contents.
+    """Resolved span rows → FIELDS_COLUMNS rows (merge lattice applied)."""
+    if len(resolved) == 0:
+        return pd.DataFrame(columns=FIELDS_COLUMNS)
+    contents = resolved["content"].reset_index(drop=True)
+    base = resolved.reset_index(drop=True)
 
-    Column types: dates as datetime.date, money as Decimal, rest str/None.
-    """
     l = llm.extract(contents, as_of_date=as_of_date, companies=companies, suppliers=suppliers)
     s = swiss.extract(contents)
     b = basic.extract(contents)
+    norm = normalize_content(base["kind"], contents)
 
     rows = []
-    for i in contents.index:
-        lr, sr, br = l.loc[i], s.loc[i], b.loc[i]
-
+    for i in range(len(base)):
+        lr, sr, br = l.iloc[i], s.iloc[i], b.iloc[i]
         # invoice_service.py:249-263 — LLM number always present (md5 fallback)
         number = lr["invoice_number"] or sr["invoice_number"] or "INV-DEFAULT"
         # :266-277 — LLM date always present (as_of fallback)
@@ -95,18 +167,20 @@ def merged_fields(
         # :294-309 — LLM customer.name carries the ERP code; Swiss is None
         company = lr["company_erp_code"] or "SITSE"
         # :279-292
-        supplier = lr["supplier_name"]
-        if not supplier or supplier == "Fournisseur Inconnu":
-            supplier = "Fournisseur Inconnu"
+        supplier = lr["supplier_name"] or "Fournisseur Inconnu"
         # :313-321
         currency = lr["currency"] or sr["currency"] or "CHF"
         # :323-356 — falsy coalesce (a 0.00 counts as absent), defaults 0.00
         ht = _dec(lr["total_ht"]) or _dec(sr["total_ht"]) or Decimal("0.00")
         tva = _dec(lr["tva"]) or _dec(sr["tva"]) or Decimal("0.00")
         ttc = _dec(lr["total_ttc"]) or _dec(sr["total_ttc"]) or Decimal("0.00")
-
         rows.append(
             {
+                "doc_id": base.at[i, "doc_id"],
+                "kind": base.at[i, "kind"],
+                "media_ref": base.at[i, "media_ref"] or "",
+                "offset": int(base.at[i, "offset"]),
+                "norm_text": norm.iloc[i],
                 "invoice_number": number,
                 "invoice_date": inv_date.isoformat() if inv_date else None,
                 "due_date": lr["due_date"].isoformat() if lr["due_date"] else None,
@@ -124,53 +198,26 @@ def merged_fields(
                 "confidence": float(br["confidence"]),
             }
         )
-    out = pd.DataFrame.from_records(rows)
-    out.index = contents.index
-    return out
+    return pd.DataFrame.from_records(rows, columns=FIELDS_COLUMNS)
 
 
-def process_batch(
-    batch: pd.DataFrame,
-    as_of_date: date = DEFAULT_AS_OF,
-    companies: list[dict] | None = None,
-    suppliers: list[dict] | None = None,
-) -> pd.DataFrame:
-    """Span rows in → flat output-span rows out.
-
-    Input columns:  doc_id, kind, text, media_ref, offset, payload(bytes|None)
-    Output columns: doc_id, offset, seq, kind, text, media_ref
-    (seq orders the spans emitted for one input span).
-    """
-    if len(batch) == 0:
-        return pd.DataFrame(columns=["doc_id", "offset", "seq", "kind", "text", "media_ref"])
-
-    contents = pd.Series(
-        [
-            resolve_content(k, t, p)
-            for k, t, p in zip(batch["kind"], batch["text"], batch["payload"])
-        ],
-        index=batch.index,
-    )
-    fields = merged_fields(contents, as_of_date, companies, suppliers)
-
+def spans_from_fields(fields: pd.DataFrame) -> pd.DataFrame:
+    """FIELDS_COLUMNS rows → flat output-span rows (SPAN_ROW_COLUMNS)."""
     out_rows = []
-    for i in batch.index:
-        row = batch.loc[i]
-        norm = normalize_content(row["kind"], contents.loc[i])
+    for _, row in fields.iterrows():
         out_rows.append(
             {
                 "doc_id": row["doc_id"],
                 "offset": int(row["offset"]),
                 "seq": 0,
                 "kind": "text",
-                "text": norm,
+                "text": row["norm_text"],
                 "media_ref": row["media_ref"] or "",
             }
         )
         seq = 1
-        frow = fields.loc[i]
         for name in FIELD_SPAN_ORDER:
-            value = frow.get(name)
+            value = row[name]
             if value is None or (isinstance(value, float) and pd.isna(value)):
                 continue
             out_rows.append(
@@ -184,4 +231,16 @@ def process_batch(
                 }
             )
             seq += 1
-    return pd.DataFrame.from_records(out_rows)
+    return pd.DataFrame.from_records(out_rows, columns=SPAN_ROW_COLUMNS)
+
+
+def process_batch(
+    batch: pd.DataFrame,
+    as_of_date: date = DEFAULT_AS_OF,
+    companies: list[dict] | None = None,
+    suppliers: list[dict] | None = None,
+) -> pd.DataFrame:
+    """Convenience composition: raw span rows (with payload) → span rows."""
+    if len(batch) == 0:
+        return pd.DataFrame(columns=SPAN_ROW_COLUMNS)
+    return spans_from_fields(fields_batch(resolve_batch(batch), as_of_date, companies, suppliers))

@@ -1,0 +1,253 @@
+"""The Spark extraction pipeline (the engine's flagship job).
+
+Restates the reference's request pipeline (SURVEY.md §3.1) as one
+declarative DataFrame job:
+
+    documents ──explode──► span rows
+      ├─ media spans ──join(media)──► payload rows          (S2/S4/S7)
+      ├─ salted repartition by xxhash64(doc_id, salt)       (north rule)
+      ├─ oversized PDFs ──mapInPandas(split pages)──►       (S5 skew path)
+      │       groupBy(doc_id, offset).applyInPandas(reassemble)
+      ├─ mapInPandas(kernel.fields_batch)  — vectorized extraction
+      │       (T*, X*, D*, M* families + merge lattice)     (EP1 steps 4-9)
+      ├─ extracted_spans: groupBy(doc_id).applyInPandas(sort offset, seq)
+      └─ invoices: typed flat projection (DecimalType money, DateType)
+
+All Python stages are Arrow-batched (`mapInPandas` / `applyInPandas`);
+there is no per-row Python anywhere.  Dimension data (company/supplier)
+ships with the task closure — it is the same "load dims once, keep in
+memory" strategy as the reference startup (llm_enhanced_extractor.py:24-31)
+and is equivalent to a broadcast for these tiny tables; the relational
+broadcast-join form of the same matching lives in operators/enrich.py.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+from functools import partial
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.kernel import assemble
+from ocr_spark.schemas import EXTRACTED_SPANS, FIELD_SPAN_ORDER
+
+# payloads larger than this are treated as skew risks and split per page
+OVERSIZE_PAYLOAD_BYTES = 64 * 1024
+
+FIELDS_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("norm_text", T.StringType(), True),
+        *[T.StructField(name, T.StringType(), True) for name in FIELD_SPAN_ORDER],
+        T.StructField("confidence", T.DoubleType(), True),
+    ]
+)
+
+_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("page_text", T.StringType(), True),
+    ]
+)
+
+_RESOLVED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+SPAN_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+    ]
+)
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans[]) → one row per span."""
+    return documents.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def attach_payloads(span_rows: DataFrame, media: DataFrame | None) -> DataFrame:
+    """Join payloads onto media-kind spans only; text spans skip the shuffle.
+
+    The media side is joined on media_ref (both sides hash-partition on the
+    join key); text/ocr/html rows are unioned back without touching the
+    shuffle — at 100 TB the text branch is the bulk of rows and must not
+    pay for the media join.
+    """
+    is_media = F.col("kind").isin("pdf", "image")
+    if media is None:
+        return span_rows.withColumn("payload", F.lit(None).cast(T.BinaryType()))
+    media_rows = span_rows.filter(is_media).join(
+        media.select("media_ref", "payload"), on="media_ref", how="left"
+    )
+    text_rows = span_rows.filter(~is_media).withColumn(
+        "payload", F.lit(None).cast(T.BinaryType())
+    )
+    return media_rows.select(*text_rows.columns).unionByName(text_rows)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> DataFrame:
+    """North rule: explicit repartition by salted doc_id hash."""
+    return df.repartition(
+        num_partitions,
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions)),
+    )
+
+
+def _fields_map(
+    it: Iterator[pd.DataFrame], as_of: date, companies: list[dict], suppliers: list[dict]
+) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield assemble.fields_batch(
+            assemble.resolve_batch(batch), as_of, companies, suppliers
+        )
+
+
+def _fields_map_resolved(
+    it: Iterator[pd.DataFrame], as_of: date, companies: list[dict], suppliers: list[dict]
+) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield assemble.fields_batch(batch, as_of, companies, suppliers)
+
+
+def _split_pages_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield assemble.split_pdf_pages(batch)
+
+
+def _spans_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield assemble.spans_from_fields(batch)
+
+
+def extract_fields(
+    spans_with_payload: DataFrame,
+    as_of: date = assemble.DEFAULT_AS_OF,
+    companies: list[dict] | None = None,
+    suppliers: list[dict] | None = None,
+    oversize_bytes: int = OVERSIZE_PAYLOAD_BYTES,
+) -> DataFrame:
+    """Span rows (+payload) → one FIELDS row per span.
+
+    Oversized PDF payloads take the page-split path: pages are parsed and
+    distributed as independent rows, then re-assembled per (doc_id, offset)
+    sorted by page_no — one straggler document can no longer pin a core for
+    the whole stage (SURVEY.md §7.3 "skew").
+    """
+    companies = companies or []
+    suppliers = suppliers or []
+    is_big_pdf = (F.col("kind") == "pdf") & (
+        F.length(F.col("payload")) > F.lit(oversize_bytes)
+    )
+    small = spans_with_payload.filter(~F.coalesce(is_big_pdf, F.lit(False)))
+    big = spans_with_payload.filter(F.coalesce(is_big_pdf, F.lit(False)))
+
+    small_fields = small.mapInPandas(
+        partial(_fields_map, as_of=as_of, companies=companies, suppliers=suppliers),
+        schema=FIELDS_ROW_SCHEMA,
+    )
+
+    big_resolved = (
+        big.mapInPandas(_split_pages_map, schema=_PAGE_SCHEMA)
+        .repartition("doc_id", "offset", "page_no")  # spread pages across cores
+        .groupBy("doc_id", "offset")
+        .applyInPandas(assemble.reassemble_pages, schema=_RESOLVED_SCHEMA)
+    )
+    big_fields = big_resolved.mapInPandas(
+        partial(_fields_map_resolved, as_of=as_of, companies=companies, suppliers=suppliers),
+        schema=FIELDS_ROW_SCHEMA,
+    )
+    return small_fields.unionByName(big_fields)
+
+
+def _collect_doc(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values(["offset", "seq"])
+    spans = [
+        {
+            "kind": r["kind"],
+            "text": r["text"],
+            "media_ref": r["media_ref"],
+            "offset": int(r["offset"]),
+        }
+        for _, r in g.iterrows()
+    ]
+    return pd.DataFrame.from_records([{"doc_id": g.iloc[0]["doc_id"], "spans": spans}])
+
+
+def assemble_extracted_spans(fields_rows: DataFrame) -> DataFrame:
+    """FIELDS rows → extracted_spans(doc_id, spans[]) ordered by (offset, seq)."""
+    span_rows = fields_rows.mapInPandas(_spans_map, schema=SPAN_ROWS_SCHEMA)
+    return span_rows.groupBy("doc_id").applyInPandas(_collect_doc, schema=EXTRACTED_SPANS)
+
+
+def invoices_from_fields(fields_rows: DataFrame) -> DataFrame:
+    """FIELDS rows → flat typed invoices table (one row per input span).
+
+    Deterministic ids replace the reference's uuid4
+    (src/services/invoice_service.py:34 → sha2, FIXTURES.md §5).
+    """
+    return fields_rows.select(
+        F.sha2(F.concat_ws("|", "doc_id", F.col("offset").cast("string")), 256).alias("invoice_id"),
+        "doc_id",
+        "invoice_number",
+        F.to_date("invoice_date").alias("invoice_date"),
+        F.to_date("due_date").alias("due_date"),
+        F.col("currency").alias("currency_code"),
+        "supplier_name",
+        "company_erp_code",
+        F.col("total_ht").cast(T.DecimalType(10, 2)).alias("excluding_taxes"),
+        F.col("tva").cast(T.DecimalType(10, 2)).alias("taxes"),
+        F.col("total_ttc").cast(T.DecimalType(10, 2)).alias("including_taxes"),
+        F.col("amount_due").cast(T.DecimalType(10, 2)).alias("amount_due"),
+        "confidence",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame | None,
+    as_of: date = assemble.DEFAULT_AS_OF,
+    companies: list[dict] | None = None,
+    suppliers: list[dict] | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """documents/media → (extracted_spans, invoices)."""
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows = explode_spans(documents)
+    rows = attach_payloads(rows, media)
+    rows = salted_repartition(rows, num_partitions, salt)
+    fields = extract_fields(rows, as_of, companies, suppliers)
+    return assemble_extracted_spans(fields), invoices_from_fields(fields)

@@ -1,0 +1,80 @@
+"""End-to-end span-sequence equality: Spark pipeline vs kernel oracle.
+
+The kernel (already golden-tested against executed reference behavior in
+test_kernel_goldens.py) computes the expected extracted_spans for each
+synthesized document; the Spark pipeline must reproduce them exactly under
+the invariant ``(kind, text, media_ref, order)`` — FIXTURES.md §4.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ocr_spark.corpus import COMPANIES, SUPPLIERS
+from ocr_spark.operators.extract import run_pipeline
+from ocr_spark.schemas import DOCUMENTS, MEDIA
+from ocr_spark.synth import expected_spans, synth_frames
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def synth_dfs(spark):
+    docs_pd, media_pd = synth_frames(N_DOCS)
+    docs = spark.createDataFrame(docs_pd, schema=DOCUMENTS)
+    media = spark.createDataFrame(
+        [(r["media_ref"], bytearray(r["payload"])) for _, r in media_pd.iterrows()],
+        schema=MEDIA,
+    )
+    return docs, media
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, synth_dfs):
+    docs, media = synth_dfs
+    extracted, invoices = run_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS, num_partitions=8
+    )
+    return extracted.collect(), invoices.toPandas()
+
+
+def _expected() -> dict[str, list[dict]]:
+    return dict(expected_spans(N_DOCS, companies=COMPANIES, suppliers=SUPPLIERS))
+
+
+def test_span_sequence_equality(pipeline_out):
+    extracted_rows, _ = pipeline_out
+    expected = _expected()
+    got = {
+        r["doc_id"]: [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
+            for s in r["spans"]
+        ]
+        for r in extracted_rows
+    }
+    assert set(got) == set(expected)
+    for doc_id, exp in expected.items():
+        assert got[doc_id] == exp, f"span mismatch for {doc_id}"
+
+
+def test_invoices_shape_and_determinism(pipeline_out):
+    _, invoices = pipeline_out
+    # one invoice row per input span
+    docs_pd, _ = synth_frames(N_DOCS)
+    n_spans = int(docs_pd["spans"].map(len).sum())
+    assert len(invoices) == n_spans
+    assert invoices["invoice_id"].nunique() == n_spans  # deterministic unique ids
+    assert invoices["including_taxes"].notna().all()
+    assert set(invoices["currency_code"].unique()) <= {"CHF", "EUR", "USD", "GBP"}
+
+
+def test_oversized_pdf_split_covered(synth_dfs):
+    """The synth corpus must actually exercise the skew path."""
+    _, media = synth_dfs
+    sizes = [len(r["payload"]) for r in media.collect()]
+    from ocr_spark.operators.extract import OVERSIZE_PAYLOAD_BYTES
+
+    assert any(s > OVERSIZE_PAYLOAD_BYTES for s in sizes), (
+        "no oversized payload in synth corpus — raise N_DOCS or pages"
+    )
