@@ -1,0 +1,131 @@
+"""Checkpoint manifests: resumable, partition-granular, exactly-once writes.
+
+North rule: "every partition writes checkpoint manifests with lineage +
+row-count/byte metrics ... so a killed run resumes at partition
+granularity".  On a cluster this maps onto Iceberg snapshot isolation
+(SURVEY.md §4.2 item 3); here the same contract is implemented over plain
+parquet with a commit protocol:
+
+* data files land under   ``<out>/data/bucket=<b>/epoch=<e>/...``
+* a manifest row (bucket, input_snapshot, row_count, byte_count,
+  lineage_hash, job_epoch) is appended under ``<out>/manifests/`` only
+  AFTER the data job for that epoch commits;
+* readers (:func:`read_committed`) semi-join data on manifested
+  (bucket, epoch) pairs, so files from crashed epochs are invisible;
+* a resumed run (:func:`checkpointed_write` with the same
+  ``input_snapshot``) anti-joins against completed buckets and only
+  processes the remainder — no duplicates, idempotent re-runs.
+
+The bucket is the salted doc_id hash partition (north rule), so "resume at
+partition granularity" is resume at bucket granularity.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _data_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "data")
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifests")
+
+
+def with_bucket(df: DataFrame, n_buckets: int, salt: int = 0) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = _manifest_dir(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def completed_buckets(spark: SparkSession, out_dir: str, input_snapshot: str) -> DataFrame | None:
+    m = read_manifests(spark, out_dir)
+    if m is None:
+        return None
+    return m.filter(F.col("input_snapshot") == input_snapshot).select("bucket").distinct()
+
+
+def checkpointed_write(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    n_buckets: int,
+    input_snapshot: str,
+    salt: int = 0,
+    lineage_cols: list[str] | None = None,
+) -> dict:
+    """Write ``df`` (must carry doc_id) bucket-partitioned with manifests.
+
+    Returns {"epoch", "buckets_written", "buckets_skipped", "rows"}.
+    Already-manifested buckets for this input_snapshot are skipped
+    (resume semantics); the epoch id isolates this attempt's files.
+    """
+    epoch = uuid.uuid4().hex[:16]
+    bucketed = with_bucket(df, n_buckets, salt).withColumn("epoch", F.lit(epoch))
+
+    done = completed_buckets(spark, out_dir, input_snapshot)
+    skipped = 0
+    if done is not None:
+        skipped = done.count()
+        bucketed = bucketed.join(F.broadcast(done), on="bucket", how="left_anti")
+
+    bucketed.write.partitionBy("bucket", "epoch").mode("append").parquet(_data_dir(out_dir))
+
+    # metrics from the files actually committed this epoch (read-back keeps
+    # the manifest honest about what is on disk)
+    written = spark.read.parquet(_data_dir(out_dir)).filter(F.col("epoch") == epoch)
+    lineage_cols = lineage_cols or [c for c in df.columns if c != "doc_id"]
+    lineage_expr = F.xxhash64("doc_id", *[F.to_json(F.struct(c)) for c in lineage_cols])
+    manifest = (
+        written.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.octet_length(F.to_json(F.struct(*lineage_cols)))).alias("byte_count"),
+            F.bit_xor(lineage_expr).alias("_lh"),  # order-independent, no overflow
+        )
+        .select(
+            "bucket",
+            F.lit(input_snapshot).alias("input_snapshot"),
+            "row_count",
+            "byte_count",
+            F.conv(F.col("_lh").cast("string"), 10, 16).alias("lineage_hash"),
+            F.lit(epoch).alias("job_epoch"),
+        )
+    )
+    manifest.write.mode("append").parquet(_manifest_dir(out_dir))
+    stats = read_manifests(spark, out_dir).filter(F.col("job_epoch") == epoch)
+    agg = stats.agg(F.count(F.lit(1)), F.sum("row_count")).collect()[0]
+    return {
+        "epoch": epoch,
+        "buckets_written": agg[0],
+        "buckets_skipped": skipped,
+        "rows": agg[1] or 0,
+    }
+
+
+def read_committed(spark: SparkSession, out_dir: str, input_snapshot: str | None = None) -> DataFrame:
+    """Read only data whose (bucket, epoch) is manifested; crashed-epoch
+    orphan files are invisible."""
+    m = read_manifests(spark, out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifests under {out_dir}")
+    if input_snapshot is not None:
+        m = m.filter(F.col("input_snapshot") == input_snapshot)
+    keys = m.select("bucket", F.col("job_epoch").alias("epoch")).distinct()
+    data = spark.read.parquet(_data_dir(out_dir))
+    return data.join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi").drop(
+        "bucket", "epoch"
+    )
