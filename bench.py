@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is extraction throughput (docs/sec) over the
+deterministic synthetic interleaved-document corpus (ocr_spark/synth.py)
+sized to the scale factor — the same workload shape as the north rule's
+10^12-doc corpus: text/ocr/html spans plus pdf/image media payloads with
+~5 % oversized multi-page PDFs (skew).
+
+Modes:
+    python bench.py                 # full headline suite → one JSON line
+    python bench.py --flagship-only # pipeline throughput only (scaling runs)
+
+Scaling evidence (north rule: efficiency >= 0.8 between N and 4N) is
+produced by tools/scaling_bench.py, which runs ``--flagship-only`` in two
+fresh JVMs at local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# Headline relational/training-data queries (subset of the full catalog in
+# ocr_spark/queries.py chosen to exercise scan+agg, shuffle join, window,
+# dedup/LSH, ANN, and sessionization at sf0.1 scale).
+HEADLINE = [
+    "pricing_summary",
+    "top_customers",
+    "region_revenue",
+    "running_total",
+    "sessionize",
+    "textstats",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "embed_topk",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def synth_dir(n_docs: int) -> str:
+    """Materialize (once) the synthetic interleaved corpus for this size."""
+    from ocr_spark.synth import write_synth
+
+    out = REPO / ".bench" / f"synth_{n_docs}"
+    marker = out / "_COMPLETE"
+    if not marker.exists():
+        write_synth(str(out), n_docs)
+        marker.write_text(str(n_docs))
+    return str(out)
+
+
+def noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_flagship(spark, n_docs: int) -> dict:
+    """Extraction pipeline over the synth corpus → docs/sec."""
+    from ocr_spark.corpus import COMPANIES, SUPPLIERS
+    from ocr_spark.operators.extract import run_pipeline
+    from ocr_spark.sources.tables import load_span_documents
+
+    base = synth_dir(n_docs)
+    docs, media = load_span_documents(spark, base)
+    t0 = time.monotonic()
+    extracted, _invoices = run_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS
+    )
+    noop_write(extracted)
+    dt = time.monotonic() - t0
+    return {"sec": round(dt, 3), "n_docs": n_docs, "docs_per_sec": round(n_docs / dt, 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--n-docs", type=int, default=None, help="override synth corpus size")
+    args = ap.parse_args()
+
+    from ocr_spark.queries import CATALOG
+    from ocr_spark.session import get_spark
+
+    sf = sf_of(args.sf_dir)
+    n_docs = args.n_docs if args.n_docs else max(100, int(50000 * sf))
+    synth_dir(n_docs)  # materialize outside the timed region
+
+    spark = get_spark("ocr_spark_bench", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
+    try:
+        # warm the JVM + python workers once so timings measure the engine
+        spark.range(1000).selectExpr("sum(id)").collect()
+
+        flagship = run_flagship(spark, n_docs)
+        queries: dict[str, float] = {"extraction_pipeline": flagship["sec"]}
+        if not args.flagship_only:
+            for name in HEADLINE:
+                fn, _sql = CATALOG[name]
+                t0 = time.monotonic()
+                noop_write(fn(spark, args.sf_dir))
+                queries[name] = round(time.monotonic() - t0, 3)
+        total = round(sum(queries.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "cpus": args.cpus,
+                    "extraction_docs": n_docs,
+                    "extraction_docs_per_sec": flagship["docs_per_sec"],
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
