@@ -45,10 +45,21 @@ def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.join(keep, on="doc_id", how="left_semi")
 
 
-def shingles(col: Column, k: int = DEFAULT_SHINGLE) -> Column:
-    """Distinct character k-shingles of the canonicalized text (sorted so
-    downstream aggregates are order-independent)."""
-    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+def normalized(col: Column) -> Column:
+    """Canonical text form shared by all dedup ops: lower, collapse ws."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _shingle_expr(norm: Column, k: int) -> Column:
+    """k-shingles of an ALREADY-MATERIALIZED norm column reference.
+
+    The norm argument must be a plain column reference, never an inline
+    expression: Spark evaluates expressions referenced inside a
+    higher-order-function lambda once per array ELEMENT, so an inline
+    regexp_replace here costs O(len) regex passes per row (measured 10×
+    slowdown). Callers project ``normalized()`` first — CollapseProject
+    leaves the projection alone because the alias is referenced more than
+    once (length + lambda)."""
     return F.array_sort(
         F.array_distinct(
             F.transform(
@@ -57,6 +68,29 @@ def shingles(col: Column, k: int = DEFAULT_SHINGLE) -> Column:
             )
         )
     )
+
+
+def shingles(col: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct character k-shingles of the canonicalized text (sorted so
+    downstream aggregates are order-independent).
+
+    NOTE: expression form — recomputes the normalization per array element
+    inside the HOF lambda. Prefer ``with_shingles`` (two-step projection)
+    anywhere performance matters."""
+    return _shingle_expr(normalized(col), k)
+
+
+def with_shingles(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, sh) with the norm pass materialized once per row (fast path)."""
+    return documents.select(
+        id_col, normalized(F.col(text_col)).alias("_norm")
+    ).select(id_col, _shingle_expr(F.col("_norm"), k).alias(out_col))
 
 
 def minhash_signature(sh: Column, n_seeds: int = DEFAULT_SEEDS) -> Column:
@@ -82,9 +116,8 @@ def lsh_candidate_pairs(
     keyed on the band hash, never a full cross join.
     """
     rows_per_band = n_seeds // n_bands
-    sig = documents.select(
-        "doc_id",
-        minhash_signature(shingles(F.col(text_col), k), n_seeds).alias("sig"),
+    sig = with_shingles(documents, text_col, k).select(
+        "doc_id", minhash_signature(F.col("sh"), n_seeds).alias("sig")
     )
     bands = sig.select(
         "doc_id",
@@ -122,7 +155,7 @@ def jaccard_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle Jaccard ≥ threshold."""
-    sh = documents.select("doc_id", shingles(F.col(text_col), k).alias("sh"))
+    sh = with_shingles(documents, text_col, k)
     out = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), on="doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), on="doc_b")

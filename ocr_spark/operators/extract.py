@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ocr_spark.kernel import assemble
-from ocr_spark.schemas import EXTRACTED_SPANS, FIELD_SPAN_ORDER
+from ocr_spark.schemas import FIELD_SPAN_ORDER
 
 # payloads larger than this are treated as skew risks and split per page
 OVERSIZE_PAYLOAD_BYTES = 64 * 1024
@@ -190,24 +190,29 @@ def extract_fields(
     return small_fields.unionByName(big_fields)
 
 
-def _collect_doc(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values(["offset", "seq"])
-    spans = [
-        {
-            "kind": r["kind"],
-            "text": r["text"],
-            "media_ref": r["media_ref"],
-            "offset": int(r["offset"]),
-        }
-        for _, r in g.iterrows()
-    ]
-    return pd.DataFrame.from_records([{"doc_id": g.iloc[0]["doc_id"], "spans": spans}])
-
-
 def assemble_extracted_spans(fields_rows: DataFrame) -> DataFrame:
-    """FIELDS rows → extracted_spans(doc_id, spans[]) ordered by (offset, seq)."""
+    """FIELDS rows → extracted_spans(doc_id, spans[]) ordered by (offset, seq).
+
+    JVM-native reassembly: collect_list of (offset, seq, …) structs,
+    array_sort (struct comparison orders by leading fields → (offset, seq),
+    unique per doc), then a transform projecting the SPAN shape. Replaces a
+    per-group applyInPandas — partial aggregation happens map-side and no
+    Python worker touches the reassembly path.
+    """
     span_rows = fields_rows.mapInPandas(_spans_map, schema=SPAN_ROWS_SCHEMA)
-    return span_rows.groupBy("doc_id").applyInPandas(_collect_doc, schema=EXTRACTED_SPANS)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("offset", "seq", "kind", "text", "media_ref"))
+    )
+    spans = F.transform(
+        ordered,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return span_rows.groupBy("doc_id").agg(spans.alias("spans"))
 
 
 def invoices_from_fields(fields_rows: DataFrame) -> DataFrame:

@@ -94,8 +94,12 @@ def q_top_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+    # scalable top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heap + driver merge); the rank window then runs over
+    # only 10 rows — never a global single-partition window over all groups.
+    top = agg.orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc()).limit(10)
     w = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
-    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 SQL_TOP_CUSTOMERS = f"""
@@ -497,7 +501,7 @@ _SQL_SHINGLES = (
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 5-gram Jaccard over a bounded doc subset (brute baseline)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("sh"))
+    sh = dedup.with_shingles(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -529,8 +533,10 @@ WHERE {_SQL_FIX6.format(x="CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(l
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signature (8 seeds over md5) for a doc subset."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sig = dedup.minhash_signature(dedup.shingles(F.col("text")))
-    return docs.select("doc_id", F.concat_ws("|", sig).alias("sig"))
+    sh = dedup.with_shingles(docs)
+    return sh.select(
+        "doc_id", F.concat_ws("|", dedup.minhash_signature(F.col("sh"))).alias("sig")
+    )
 
 
 def _sql_minhash(seeds: int = 8) -> str:
