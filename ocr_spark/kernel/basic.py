@@ -57,6 +57,19 @@ _PURE_NUMBER_RX = re.compile(r"^\d+$")
 # data_extractor.py:454,461
 _POSTAL_RX = re.compile(r"(\d{5})\s+([A-Z\s]+)")
 _STREET_RX = re.compile(r"\d+.*(?:rue|avenue|boulevard|place|rond.point|parc)", re.I)
+# _STREET_RX backtracks O(n^2) on long keyword-free lines (and after the T1
+# clean every "line" is the whole document, data_extractor.py:144-146).
+# These substrings are a necessary condition for any match ('rond.point'
+# needs both halves), so a failed cheap containment check skips the regex
+# without changing semantics.
+_STREET_HINTS = ("rue", "avenue", "boulevard", "place", "parc")
+
+
+def _street_possible(line: str) -> bool:
+    low = line.lower()
+    if any(w in low for w in _STREET_HINTS):
+        return True
+    return "rond" in low and "point" in low
 # data_extractor.py:480-487
 _EMAIL_RX = re.compile(r"([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})")
 _PHONE_RX = re.compile(r"(?:tél|tel|phone)[\s:]*([0-9\s\.\-\+]{10,})", re.I)
@@ -134,7 +147,7 @@ def _address_of(section: list[str]) -> dict:
             out["postal_code"] = m.group(1)
             out["city"] = m.group(2).strip()
             continue
-        if _STREET_RX.search(line):
+        if _street_possible(line) and _STREET_RX.search(line):
             out["street"] = line
     if out:
         out["country"] = "France"

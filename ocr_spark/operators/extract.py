@@ -117,11 +117,17 @@ def attach_payloads(span_rows: DataFrame, media: DataFrame | None) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> DataFrame:
-    """North rule: explicit repartition by salted doc_id hash."""
-    return df.repartition(
-        num_partitions,
-        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions)),
-    )
+    """North rule: explicit repartition by salted doc_id hash.
+
+    Partition on the raw 64-bit hash, NOT pmod(hash, N): Spark re-hashes
+    the partition expression, so an N-valued pmod gives balls-into-bins
+    collisions (measured 4.6x row skew at N=96); the full-width hash
+    distributes uniformly. The explicit partition count also opts this
+    exchange out of AQE coalescing — Python extraction is CPU-bound, and
+    AQE's byte-based coalescing would serialize it (measured: the whole
+    big-PDF branch coalesced into ONE task).
+    """
+    return df.repartition(num_partitions, F.xxhash64(F.col("doc_id"), F.lit(salt)))
 
 
 def _fields_map(
@@ -150,44 +156,124 @@ def _spans_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield assemble.spans_from_fields(batch)
 
 
+def _process_map(
+    it: Iterator[pd.DataFrame], as_of: date, companies: list[dict], suppliers: list[dict]
+) -> Iterator[pd.DataFrame]:
+    """Fused resolve→fields→spans in ONE Python stage (one Arrow hop)."""
+    for batch in it:
+        yield assemble.process_batch(batch, as_of, companies, suppliers)
+
+
+def _process_map_resolved(
+    it: Iterator[pd.DataFrame], as_of: date, companies: list[dict], suppliers: list[dict]
+) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield assemble.spans_from_fields(
+            assemble.fields_batch(batch, as_of, companies, suppliers)
+        )
+
+
 def extract_fields(
     spans_with_payload: DataFrame,
     as_of: date = assemble.DEFAULT_AS_OF,
     companies: list[dict] | None = None,
     suppliers: list[dict] | None = None,
-    oversize_bytes: int = OVERSIZE_PAYLOAD_BYTES,
 ) -> DataFrame:
-    """Span rows (+payload) → one FIELDS row per span.
+    """Span rows (+payload) → one FIELDS row per span, single-pass.
 
-    Oversized PDF payloads take the page-split path: pages are parsed and
-    distributed as independent rows, then re-assembled per (doc_id, offset)
-    sorted by page_no — one straggler document can no longer pin a core for
-    the whole stage (SURVEY.md §7.3 "skew").
+    One mapInPandas handles every kind inline, including multi-page PDFs
+    (~100 ms/monster in the kernel, so intra-doc parallelism buys nothing
+    at this per-page cost). No dataflow branching: a small/big filter
+    split re-evaluates the shared scan+shuffle lineage per branch —
+    Catalyst pushes the filters below the exchange, so the exchanges stop
+    being canonically identical and ReuseExchange never fires (verified on
+    the executed AQE plan). For workloads where per-page cost is heavy
+    (real OCR rasterization), use extract_spans_paged.
     """
-    companies = companies or []
-    suppliers = suppliers or []
+    return spans_with_payload.mapInPandas(
+        partial(
+            _fields_map,
+            as_of=as_of,
+            companies=companies or [],
+            suppliers=suppliers or [],
+        ),
+        schema=FIELDS_ROW_SCHEMA,
+    )
+
+
+def _split_small_big(spans_with_payload: DataFrame, oversize_bytes: int):
     is_big_pdf = (F.col("kind") == "pdf") & (
         F.length(F.col("payload")) > F.lit(oversize_bytes)
     )
     small = spans_with_payload.filter(~F.coalesce(is_big_pdf, F.lit(False)))
     big = spans_with_payload.filter(F.coalesce(is_big_pdf, F.lit(False)))
+    return small, big
 
-    small_fields = small.mapInPandas(
-        partial(_fields_map, as_of=as_of, companies=companies, suppliers=suppliers),
-        schema=FIELDS_ROW_SCHEMA,
+
+def extract_spans_fused(
+    spans_with_payload: DataFrame,
+    as_of: date = assemble.DEFAULT_AS_OF,
+    companies: list[dict] | None = None,
+    suppliers: list[dict] | None = None,
+) -> DataFrame:
+    """Span rows (+payload) → output span rows, single fused Python stage
+    (resolve+extract+spans in one Arrow hop), single-pass dataflow (see
+    extract_fields for why branching costs a full re-scan)."""
+    return spans_with_payload.mapInPandas(
+        partial(
+            _process_map,
+            as_of=as_of,
+            companies=companies or [],
+            suppliers=suppliers or [],
+        ),
+        schema=SPAN_ROWS_SCHEMA,
     )
 
+
+def extract_spans_paged(
+    spans_with_payload: DataFrame,
+    as_of: date = assemble.DEFAULT_AS_OF,
+    companies: list[dict] | None = None,
+    suppliers: list[dict] | None = None,
+    oversize_bytes: int = OVERSIZE_PAYLOAD_BYTES,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-mitigating variant (north rule / SURVEY.md §7.3): oversized PDF
+    payloads are split into page-level rows processed as independent
+    sub-tasks, then re-assembled per (doc_id, offset) sorted by page_no.
+
+    Use when per-page processing is expensive (real OCR: seconds/page) —
+    one 500-page document then costs 500 parallel sub-tasks instead of
+    pinning a core for the whole stage. Costs one extra scan of the input
+    (the small/big branch split defeats exchange reuse) and a page-level
+    shuffle, so the cheap-kernel default is extract_spans_fused.
+    """
+    companies = companies or []
+    suppliers = suppliers or []
+    if num_partitions is None:
+        num_partitions = int(
+            spans_with_payload.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    small, big = _split_small_big(spans_with_payload, oversize_bytes)
+    small_spans = small.mapInPandas(
+        partial(_process_map, as_of=as_of, companies=companies, suppliers=suppliers),
+        schema=SPAN_ROWS_SCHEMA,
+    )
+    # Explicit partition count on the reassembly exchange: it satisfies the
+    # groupBy's ClusteredDistribution (no second shuffle) AND opts out of
+    # AQE byte-based coalescing, which would funnel the CPU-bound
+    # reassemble+extract work for every monster PDF into one task.
     big_resolved = (
         big.mapInPandas(_split_pages_map, schema=_PAGE_SCHEMA)
-        .repartition("doc_id", "offset", "page_no")  # spread pages across cores
+        .repartition(num_partitions, "doc_id", "offset")
         .groupBy("doc_id", "offset")
         .applyInPandas(assemble.reassemble_pages, schema=_RESOLVED_SCHEMA)
     )
-    big_fields = big_resolved.mapInPandas(
-        partial(_fields_map_resolved, as_of=as_of, companies=companies, suppliers=suppliers),
-        schema=FIELDS_ROW_SCHEMA,
+    big_spans = big_resolved.mapInPandas(
+        partial(_process_map_resolved, as_of=as_of, companies=companies, suppliers=suppliers),
+        schema=SPAN_ROWS_SCHEMA,
     )
-    return small_fields.unionByName(big_fields)
+    return small_spans.unionByName(big_spans)
 
 
 def assemble_extracted_spans(fields_rows: DataFrame) -> DataFrame:
@@ -200,6 +286,11 @@ def assemble_extracted_spans(fields_rows: DataFrame) -> DataFrame:
     Python worker touches the reassembly path.
     """
     span_rows = fields_rows.mapInPandas(_spans_map, schema=SPAN_ROWS_SCHEMA)
+    return assemble_spans_table(span_rows)
+
+
+def assemble_spans_table(span_rows: DataFrame) -> DataFrame:
+    """Output span rows → extracted_spans(doc_id, spans[]), JVM-native."""
     ordered = F.array_sort(
         F.collect_list(F.struct("offset", "seq", "kind", "text", "media_ref"))
     )
@@ -247,12 +338,34 @@ def run_pipeline(
     suppliers: list[dict] | None = None,
     num_partitions: int | None = None,
     salt: int = 0,
+    page_split_bytes: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """documents/media → (extracted_spans, invoices)."""
+    """documents/media → (extracted_spans, invoices).
+
+    ``page_split_bytes``: when set, oversized PDFs take the distributed
+    page-split path (extract_spans_paged) — for heavy per-page kernels.
+    Default None = single-pass plan (one scan, salted shuffle, one fused
+    Python stage, final assembly shuffle).
+    """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     rows = explode_spans(documents)
     rows = attach_payloads(rows, media)
     rows = salted_repartition(rows, num_partitions, salt)
+    # Two independent lazy branches off the same repartitioned rows: the
+    # extracted-spans output runs the fused one-Python-stage path; the
+    # invoices output keeps the FIELDS projection it needs. Only the
+    # branch a caller materializes executes.
+    if page_split_bytes is None:
+        fused = extract_spans_fused(rows, as_of, companies, suppliers)
+    else:
+        fused = extract_spans_paged(
+            rows,
+            as_of,
+            companies,
+            suppliers,
+            oversize_bytes=page_split_bytes,
+            num_partitions=num_partitions,
+        )
     fields = extract_fields(rows, as_of, companies, suppliers)
-    return assemble_extracted_spans(fields), invoices_from_fields(fields)
+    return assemble_spans_table(fused), invoices_from_fields(fields)

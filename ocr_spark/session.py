@@ -11,10 +11,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batches for the media kernels can carry multi-MB payloads per row;
-# keep batches small so one batch fits comfortably in executor memory even
-# when a row holds a 100-page PDF payload (SURVEY.md §4.2 item 4).
-ARROW_MAX_RECORDS_PER_BATCH = 256
+# Arrow batch sizing (SURVEY.md §4.2 item 4): small fixed record counts
+# (e.g. 256) double-count as overhead on the dominant tiny-text rows —
+# measured ~2x pipeline throughput going 256 → 4096+. Spark 4's byte cap
+# handles the multi-MB media payload rows instead: a batch closes at
+# MAX_BYTES even if far below MAX_RECORDS, so a 10 MB-payload row (the
+# reference's max_file_size, src/config/settings.py:25) never amplifies
+# into a multi-GB batch.
+ARROW_MAX_RECORDS_PER_BATCH = 10000
+ARROW_MAX_BYTES_PER_BATCH = 16 * 1024 * 1024
 
 
 def get_spark(
@@ -48,6 +53,10 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(ARROW_MAX_BYTES_PER_BATCH) + "b",
         )
         # parquet scans: allow coalescing many small synthetic files
         .config("spark.sql.files.maxPartitionBytes", "128m")

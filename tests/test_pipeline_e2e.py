@@ -69,6 +69,27 @@ def test_invoices_shape_and_determinism(pipeline_out):
     assert set(invoices["currency_code"].unique()) <= {"CHF", "EUR", "USD", "GBP"}
 
 
+def test_paged_path_span_equality(spark, synth_dfs):
+    """The distributed page-split path (north rule skew mitigation) must
+    produce byte-identical spans to the single-pass path."""
+    docs, media = synth_dfs
+    extracted, _ = run_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS,
+        num_partitions=8, page_split_bytes=64 * 1024,
+    )
+    expected = _expected()
+    got = {
+        r["doc_id"]: [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
+            for s in r["spans"]
+        ]
+        for r in extracted.collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, exp in expected.items():
+        assert got[doc_id] == exp, f"paged-path span mismatch for {doc_id}"
+
+
 def test_oversized_pdf_split_covered(synth_dfs):
     """The synth corpus must actually exercise the skew path."""
     _, media = synth_dfs
