@@ -305,6 +305,289 @@ FROM documents d LEFT JOIN (SELECT doc_id, erp_code FROM matched WHERE rn = 1) m
   ON d.doc_id = m.doc_id
 """
 
+_SUPPLIER_NAME_DIM = [
+    (1, "Nettoyage SA"), (2, "Transport Leman"), (3, "Romande Energie"),
+    (4, "Swisscom"), (5, "La Poste"),
+]
+
+_SUPPLIER_FALLBACK_RX = r"(?:De|From|Fournisseur|Supplier)[: ]+([A-Z][A-Za-z &]{5,30})"
+
+
+def q_supplier_fallback(spark, sf_dir):
+    """J3 analogue: containment join, else regex fallback, else default
+    (llm_enhanced_extractor.py:338-370)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dims = spark.createDataFrame(_SUPPLIER_NAME_DIM, ["dim_idx", "supplier_name"])
+    out = enrich.first_match_containment_join(
+        docs, dims, fact_id="doc_id", text_col="text", dim_key="supplier_name", how="left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(
+            "matched_supplier_name",
+            F.nullif(F.regexp_extract("text", _SUPPLIER_FALLBACK_RX, 1), F.lit("")),
+            F.lit("Fournisseur Inconnu"),
+        ).alias("supplier_name"),
+    )
+
+
+SQL_SUPPLIER_FALLBACK = f"""
+WITH dims(dim_idx, supplier_name) AS (
+  VALUES (1,'Nettoyage SA'), (2,'Transport Leman'), (3,'Romande Energie'),
+         (4,'Swisscom'), (5,'La Poste')
+), matched AS (
+  SELECT d.doc_id, m.supplier_name,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY m.dim_idx) AS rn
+  FROM documents d JOIN dims m
+    ON strpos(lower(d.text), lower(m.supplier_name)) > 0
+)
+SELECT d.doc_id,
+       coalesce(m.supplier_name,
+                nullif(regexp_extract(d.text, '{_SUPPLIER_FALLBACK_RX}', 1), ''),
+                'Fournisseur Inconnu') AS supplier_name
+FROM documents d
+LEFT JOIN (SELECT doc_id, supplier_name FROM matched WHERE rn = 1) m
+  ON d.doc_id = m.doc_id
+"""
+
+
+def q_supplier_detail(spark, sf_dir):
+    """J4 analogue: broadcast left equi-join pulling dim details
+    (llm_enhanced_extractor.py:417-449)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, how="left")
+        .groupBy("s_suppkey", "s_name", "s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money2(F.sum("l_extendedprice")).alias("total"),
+        )
+    )
+
+
+SQL_SUPPLIER_DETAIL = f"""
+SELECT s_suppkey, s_name, s_nationkey, count(*) AS n_items,
+       {_SQL_MONEY2.format(x='sum(l_extendedprice)')} AS total
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_orderkey <= 1000
+GROUP BY s_suppkey, s_name, s_nationkey
+"""
+
+_CONFIDENCE_KEYWORDS = [
+    "invoice", "total", "date", "amount", "client",
+    "supplier", "tax", "payment", "number", "service",
+]
+
+
+def q_keyword_confidence(spark, sf_dir):
+    """A2 analogue: fraction of 10 keywords present, capped at 1.0
+    (data_extractor.py:405-415)."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    hits = sum(
+        (F.when(F.instr(low, k) > 0, 1).otherwise(0) for k in _CONFIDENCE_KEYWORDS),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id", F.least(hits / F.lit(10.0), F.lit(1.0)).alias("confidence")
+    )
+
+
+SQL_KEYWORD_CONFIDENCE = (
+    "SELECT doc_id, least(("
+    + " + ".join(
+        f"CASE WHEN strpos(lower(text), '{k}') > 0 THEN 1 ELSE 0 END"
+        for k in _CONFIDENCE_KEYWORDS
+    )
+    + ") / 10.0, 1.0) AS confidence FROM documents"
+)
+
+
+def q_subtotal_check(spark, sf_dir):
+    """A3/M5 analogue: per-order line-item sum vs header total ± 0.01
+    (data_extractor.py:422-425)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    sums = li.groupBy("l_orderkey").agg(money2(F.sum("l_extendedprice")).alias("items_sum"))
+    return (
+        o.join(sums, o.o_orderkey == sums.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("items_sum", F.lit(0.0)).alias("items_sum"),
+            money2(F.col("o_totalprice")).alias("header_total"),
+            (
+                F.abs(F.coalesce("items_sum", F.lit(0.0)) - money2(F.col("o_totalprice")))
+                <= 0.01
+            ).alias("consistent"),
+        )
+    )
+
+
+SQL_SUBTOTAL_CHECK = f"""
+WITH sums AS (
+  SELECT l_orderkey, {_SQL_MONEY2.format(x='sum(l_extendedprice)')} AS items_sum
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey,
+       coalesce(items_sum, 0.0) AS items_sum,
+       {_SQL_MONEY2.format(x='o_totalprice')} AS header_total,
+       abs(coalesce(items_sum, 0.0) - {_SQL_MONEY2.format(x='o_totalprice')}) <= 0.01 AS consistent
+FROM orders LEFT JOIN sums ON o_orderkey = l_orderkey
+WHERE o_orderkey <= 5000
+"""
+
+
+def q_amount_normalize(spark, sf_dir):
+    """M1 analogue: Swiss-style amount string → decimal (strip [\\s'] and
+    ','→'.'; llm_enhanced_extractor.py:266-271)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    raw = F.replace(
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.lit("."), F.lit(","),
+    )
+    parsed = F.replace(
+        F.replace(raw, F.lit("'"), F.lit("")), F.lit(","), F.lit(".")
+    ).cast("double")
+    return o.select("o_orderkey", raw.alias("raw"), parsed.alias("amount"))
+
+
+SQL_AMOUNT_NORMALIZE = """
+WITH r AS (
+  SELECT o_orderkey,
+         replace(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS raw
+  FROM orders WHERE o_orderkey <= 5000
+)
+SELECT o_orderkey, raw,
+       CAST(replace(replace(raw, '''', ''), ',', '.') AS DOUBLE) AS amount
+FROM r
+"""
+
+
+def q_word_confidence(spark, sf_dir):
+    """F3/A1 analogue: explode words, deterministic pseudo-confidence,
+    filter conf>0.5, mean per part (ocr_engine.py:96-112)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    words = p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    ).withColumn(
+        "conf", ((F.length("word") * 7 + F.col("p_partkey")) % 101) / F.lit(100.0)
+    )
+    return (
+        words.filter(F.col("conf") > 0.5)
+        .groupBy("p_partkey")
+        .agg(
+            fix4(F.avg("conf")).alias("mean_conf"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+
+
+SQL_WORD_CONFIDENCE = f"""
+WITH words AS (
+  SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+  FROM part WHERE p_partkey <= 2000
+), conf AS (
+  SELECT p_partkey, (length(word) * 7 + p_partkey) % 101 / 100.0 AS conf
+  FROM words
+)
+SELECT p_partkey, {_SQL_FIX4.format(x='avg(conf)')} AS mean_conf, count(*) AS n_words
+FROM conf WHERE conf > 0.5 GROUP BY p_partkey
+"""
+
+
+def q_distinct_types(spark, sf_dir):
+    """U1 analogue: per-row array_distinct + sort (set dedupe,
+    enhanced_image_processor.py:106-111)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    arr = F.array_sort(F.array_distinct(F.split("p_type", " ")))
+    return p.select(
+        "p_partkey",
+        F.concat_ws("|", arr).alias("distinct_words"),
+        F.size(arr).alias("n_distinct"),
+    )
+
+
+SQL_DISTINCT_TYPES = """
+SELECT p_partkey,
+       list_aggregate(list_sort(list_distinct(string_split(p_type, ' '))), 'string_agg', '|') AS distinct_words,
+       CAST(len(list_distinct(string_split(p_type, ' '))) AS INT) AS n_distinct
+FROM part WHERE p_partkey <= 2000
+"""
+
+
+def q_options_json(spark, sf_dir):
+    """AR2 analogue: parse an options JSON blob with defaults-on-error
+    (routes.py:227-238)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    blob = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("not json")
+    ).otherwise(
+        F.concat(
+            F.lit('{"priority": "'), F.col("o_orderpriority"),
+            F.lit('", "status": "'), F.col("o_orderstatus"), F.lit('"}'),
+        )
+    )
+    parsed = F.from_json(blob, "priority string, status string")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(parsed["priority"], F.lit("default")).alias("priority"),
+        F.coalesce(parsed["status"], F.lit("U")).alias("status"),
+    )
+
+
+SQL_OPTIONS_JSON = """
+WITH b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'not json'
+              ELSE '{"priority": "' || o_orderpriority || '", "status": "' || o_orderstatus || '"}'
+         END AS blob
+  FROM orders WHERE o_orderkey <= 5000
+)
+SELECT o_orderkey,
+       coalesce(CASE WHEN json_valid(blob) THEN json_extract_string(blob, '$.priority') END, 'default') AS priority,
+       coalesce(CASE WHEN json_valid(blob) THEN json_extract_string(blob, '$.status') END, 'U') AS status
+FROM b
+"""
+
+_BPE_RX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex token counting over documents (training-data op)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RX), 0)).alias("n_bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKENS = f"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_embed_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute, bounded subset) — the exact
+    baseline for the LSH-bucketed scale path."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = similarity.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", fix6(cos).alias("cos"))
+        # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.47
+        # at sf0.001); 0.25 keeps the operator non-vacuous on testdata —
+        # production near-dup thresholds (0.9+) are a parameter, not logic
+        .filter(F.col("cos") >= 0.25)
+    )
+
+
+# (SQL twin defined below embed_topk, after the shared _sql_dot helper)
+
+
 # --------------------------------------------------------------------------
 # extraction semantics on constructed text (X/D/M analogues, dialect-safe)
 # --------------------------------------------------------------------------
@@ -349,6 +632,132 @@ SELECT o_orderkey,
        coalesce(regexp_extract(text, 'SIRET[: ]*([0-9]{9,14})', 1), '') AS siret,
        CAST(regexp_extract(text, 'TOTAL TTC ([0-9]+\\.[0-9]{2})', 1) AS DOUBLE) AS total_ttc
 FROM t
+"""
+
+
+# X13 (data_extractor.py:304-336): one regex over the document text yields
+# (desc, qty, unit_price, amount) tuples; vat derived with constant 0.20.
+_LINE_ITEM_RX = r"([A-Za-z ]+) ([0-9]+) ([0-9]+\.[0-9]{2}) ([0-9]+\.[0-9]{2})"
+
+
+def q_line_items_explode(spark, sf_dir):
+    """X13 analogue (the UDTF shape): regexp_extract_all full matches →
+    explode → per-match group extraction → constant-rate VAT lattice."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    # money2 (floor-based) rounding, NOT cast to DECIMAL(12,2): the
+    # double→decimal cast rounds HALF_UP on different representations in
+    # Spark vs DuckDB, so boundary cents diverge; shortest-round-trip
+    # double printing is identical in both engines.
+    line = F.concat(
+        F.lit("item line "),
+        F.col("l_quantity").cast("int").cast("string"),
+        F.lit(" "), money2(F.col("l_extendedprice")).cast("string"),
+        F.lit(" "), money2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("string"),
+    )
+    docs = li.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_list(line)), "\n").alias("text")
+    )
+    matches = docs.select(
+        "l_orderkey",
+        F.posexplode(F.regexp_extract_all("text", F.lit(_LINE_ITEM_RX), 0)).alias("item_no", "m"),
+    )
+    amount = F.regexp_extract("m", _LINE_ITEM_RX, 4).cast("double")
+    return matches.select(
+        "l_orderkey",
+        "item_no",
+        F.trim(F.regexp_extract("m", _LINE_ITEM_RX, 1)).alias("description"),
+        F.regexp_extract("m", _LINE_ITEM_RX, 2).cast("double").alias("qty"),
+        F.regexp_extract("m", _LINE_ITEM_RX, 3).cast("double").alias("unit_price"),
+        amount.alias("amount"),
+        money2(amount * 0.20).alias("vat_amount"),
+        money2(amount * 1.20).alias("amount_incl_vat"),
+    )
+
+
+SQL_LINE_ITEMS_EXPLODE = f"""
+WITH docs AS (
+  SELECT l_orderkey,
+         string_agg(
+           'item line '
+            || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+            || ' ' || CAST({_SQL_MONEY2.format(x='l_extendedprice')} AS VARCHAR)
+            || ' ' || CAST({_SQL_MONEY2.format(x='l_extendedprice * (1 - l_discount)')} AS VARCHAR),
+           chr(10)
+           ORDER BY 'item line '
+            || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+            || ' ' || CAST({_SQL_MONEY2.format(x='l_extendedprice')} AS VARCHAR)
+            || ' ' || CAST({_SQL_MONEY2.format(x='l_extendedprice * (1 - l_discount)')} AS VARCHAR)
+         ) AS text
+  FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_orderkey
+), m AS (
+  SELECT l_orderkey, unnest(regexp_extract_all(text, '{_LINE_ITEM_RX}')) AS m,
+         CAST(generate_subscripts(regexp_extract_all(text, '{_LINE_ITEM_RX}'), 1) - 1 AS INT) AS item_no
+  FROM docs
+)
+SELECT l_orderkey, item_no,
+       trim(regexp_extract(m, '{_LINE_ITEM_RX}', 1)) AS description,
+       CAST(regexp_extract(m, '{_LINE_ITEM_RX}', 2) AS DOUBLE) AS qty,
+       CAST(regexp_extract(m, '{_LINE_ITEM_RX}', 3) AS DOUBLE) AS unit_price,
+       CAST(regexp_extract(m, '{_LINE_ITEM_RX}', 4) AS DOUBLE) AS amount,
+       {_SQL_MONEY2.format(x="CAST(regexp_extract(m, '" + _LINE_ITEM_RX + "', 4) AS DOUBLE) * 0.20")} AS vat_amount,
+       {_SQL_MONEY2.format(x="CAST(regexp_extract(m, '" + _LINE_ITEM_RX + "', 4) AS DOUBLE) * 1.20")} AS amount_incl_vat
+FROM m
+"""
+
+# D2 (llm_enhanced_extractor.py:204-208): French month names → month number
+_FR_MONTHS = [
+    ("janvier", 1), ("février", 2), ("mars", 3), ("avril", 4), ("mai", 5),
+    ("juin", 6), ("juillet", 7), ("août", 8), ("septembre", 9),
+    ("octobre", 10), ("novembre", 11), ("décembre", 12),
+]
+
+
+def q_french_dates(spark, sf_dir):
+    """D2 analogue: '17 février 2025'-style dates → DATE via a month-name
+    mapping + plausibility bounds (year 2000-2030)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    month_name = F.element_at(
+        F.array(*[F.lit(n) for n, _ in _FR_MONTHS]), (F.month("o_orderdate"))
+    )
+    raw = F.concat_ws(
+        " ", F.dayofmonth("o_orderdate").cast("string"), month_name,
+        F.year("o_orderdate").cast("string"),
+    )
+    mapping = F.create_map(
+        *[x for n, v in _FR_MONTHS for x in (F.lit(n), F.lit(v))]
+    )
+    day = F.regexp_extract(F.col("raw"), r"^([0-9]{1,2}) ", 1).cast("int")
+    mon = mapping[F.regexp_extract(F.col("raw"), r"^[0-9]{1,2} ([a-zûé]+) ", 1)]
+    year = F.regexp_extract(F.col("raw"), r" ([0-9]{4})$", 1).cast("int")
+    parsed = F.when(
+        year.between(2000, 2030) | year.between(1992, 1998),
+        F.make_date(year, mon, day),
+    )
+    return o.select("o_orderkey", raw.alias("raw")).select(
+        "o_orderkey", "raw", parsed.alias("parsed")
+    )
+
+
+SQL_FRENCH_DATES = f"""
+WITH months(name, mnum) AS (
+  VALUES {", ".join(f"('{n}', {v})" for n, v in _FR_MONTHS)}
+), r AS (
+  SELECT o_orderkey,
+         CAST(day(o_orderdate) AS VARCHAR) || ' ' ||
+         (SELECT name FROM months WHERE mnum = month(o_orderdate)) || ' ' ||
+         CAST(year(o_orderdate) AS VARCHAR) AS raw
+  FROM orders WHERE o_orderkey <= 5000
+), p AS (
+  SELECT o_orderkey, raw,
+         CAST(regexp_extract(raw, '^([0-9]{{1,2}}) ', 1) AS INT) AS d,
+         (SELECT mnum FROM months WHERE name = regexp_extract(raw, '^[0-9]{{1,2}} ([a-zûé]+) ', 1)) AS m,
+         CAST(regexp_extract(raw, ' ([0-9]{{4}})$', 1) AS INT) AS y
+  FROM r
+)
+SELECT o_orderkey, raw,
+       CASE WHEN (y BETWEEN 2000 AND 2030) OR (y BETWEEN 1992 AND 1998)
+            THEN make_date(y, m, d) END AS parsed
+FROM p
 """
 
 
@@ -634,6 +1043,20 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
 """
 
 
+_SQL_COS_AB = (
+    f"({_sql_dot('a.embedding', 'b.embedding')}) / "
+    f"(sqrt({_sql_dot('a.embedding', 'a.embedding')}) * sqrt({_sql_dot('b.embedding', 'b.embedding')}))"
+)
+
+SQL_EMBED_COSINE_DUPS = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_SQL_FIX6.format(x=_SQL_COS_AB)} AS cos
+FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
+JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b ON a.vec_id < b.vec_id
+WHERE {_SQL_FIX6.format(x=_SQL_COS_AB)} >= 0.25
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Event sessionization (30-min gap) — the batch form of the streaming
     session-window operator."""
@@ -725,7 +1148,19 @@ CATALOG: dict[str, tuple] = {
     "count_stats": (q_count_stats, SQL_COUNT_STATS),
     "fuzzy_top1": (q_fuzzy_top1, SQL_FUZZY_TOP1),
     "erp_containment": (q_erp_containment, SQL_ERP_CONTAINMENT),
+    "supplier_fallback": (q_supplier_fallback, SQL_SUPPLIER_FALLBACK),
+    "supplier_detail": (q_supplier_detail, SQL_SUPPLIER_DETAIL),
+    "keyword_confidence": (q_keyword_confidence, SQL_KEYWORD_CONFIDENCE),
+    "subtotal_check": (q_subtotal_check, SQL_SUBTOTAL_CHECK),
+    "amount_normalize": (q_amount_normalize, SQL_AMOUNT_NORMALIZE),
+    "word_confidence": (q_word_confidence, SQL_WORD_CONFIDENCE),
+    "distinct_types": (q_distinct_types, SQL_DISTINCT_TYPES),
+    "options_json": (q_options_json, SQL_OPTIONS_JSON),
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
+    "embed_cosine_dups": (q_embed_cosine_dups, SQL_EMBED_COSINE_DUPS),
     "extract_invoice_fields": (q_extract_invoice_fields, SQL_EXTRACT_INVOICE_FIELDS),
+    "line_items_explode": (q_line_items_explode, SQL_LINE_ITEMS_EXPLODE),
+    "french_dates": (q_french_dates, SQL_FRENCH_DATES),
     "date_lattice": (q_date_lattice, SQL_DATE_LATTICE),
     "amount_lattice": (q_amount_lattice, SQL_AMOUNT_LATTICE),
     "textstats": (q_textstats, SQL_TEXTSTATS),

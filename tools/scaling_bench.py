@@ -38,15 +38,18 @@ def _burn(n: int) -> int:
     return 1
 
 
-def raw_cpu_throughput(procs: int, tasks: int = 64) -> float:
+def raw_cpu_throughput(procs: int, tasks: int = 64, repeat: int = 3) -> float:
+    best = 0.0
     with mp.Pool(procs) as p:
         p.map(_burn, [100000] * procs)  # warm the pool
-        t0 = time.monotonic()
-        p.map(_burn, [600000] * tasks)
-        return tasks / (time.monotonic() - t0)
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            p.map(_burn, [600000] * tasks)
+            best = max(best, tasks / (time.monotonic() - t0))
+    return best
 
 
-def run_flagship(cpus: int, n_docs: int) -> dict:
+def run_flagship(cpus: int, n_docs: int, repeat: int = 3) -> dict:
     out = subprocess.run(
         [
             sys.executable,
@@ -57,7 +60,7 @@ def run_flagship(cpus: int, n_docs: int) -> dict:
             "--n-docs",
             str(n_docs),
             "--repeat",
-            "2",
+            str(repeat),
         ],
         capture_output=True,
         text=True,
@@ -74,6 +77,7 @@ def main() -> None:
     ap.add_argument(
         "--pairs", nargs="*", default=["2,8", "8,32"], help="N,4N core pairs"
     )
+    ap.add_argument("--repeat", type=int, default=3)
     args = ap.parse_args()
 
     pairs = [tuple(int(x) for x in p.split(",")) for p in args.pairs]
@@ -81,7 +85,7 @@ def main() -> None:
 
     engine: dict[int, dict] = {}
     for cpus in levels:
-        engine[cpus] = run_flagship(cpus, args.n_docs)
+        engine[cpus] = run_flagship(cpus, args.n_docs, repeat=args.repeat)
         print(f"local[{cpus}]: {engine[cpus]['extraction_docs_per_sec']} docs/s", flush=True)
 
     raw: dict[int, float] = {c: raw_cpu_throughput(c) for c in levels}
@@ -93,8 +97,8 @@ def main() -> None:
         "",
         f"Flagship extraction pipeline (`bench.py --flagship-only`) over the "
         f"deterministic synthetic interleaved corpus, n_docs={args.n_docs}, "
-        "same input at every level; fresh JVM per level; best of 2 runs "
-        "(steady state); 3 shuffle partitions per core.",
+        f"same input at every level; fresh JVM per level; best of {args.repeat} "
+        "runs (steady state); 3 shuffle partitions per core.",
         "",
         "## Engine throughput by parallelism",
         "",
@@ -108,15 +112,21 @@ def main() -> None:
         "",
         "## Scaling efficiency (north rule: ≥ 0.8 between N and 4N)",
         "",
-        "| pair (N → 4N) | engine eff = T(4N)/(4·T(N)) | raw-CPU host ceiling* |",
-        "|---|---|---|",
+        "| pair (N → 4N) | engine eff = T(4N)/(4·T(N)) | raw-CPU host ceiling* | engine / ceiling |",
+        "|---|---|---|---|",
     ]
     results = {}
     for n, n4 in pairs:
         eff = engine[n4]["extraction_docs_per_sec"] / (4 * engine[n]["extraction_docs_per_sec"])
         ceiling = raw[n4] / (4 * raw[n])
-        results[f"{n}->{n4}"] = {"engine_eff": round(eff, 3), "raw_ceiling": round(ceiling, 3)}
-        lines.append(f"| local[{n}] → local[{n4}] | **{eff:.3f}** | {ceiling:.3f} |")
+        results[f"{n}->{n4}"] = {
+            "engine_eff": round(eff, 3),
+            "raw_ceiling": round(ceiling, 3),
+            "normalized": round(eff / ceiling, 3),
+        }
+        lines.append(
+            f"| local[{n}] → local[{n4}] | **{eff:.3f}** | {ceiling:.3f} | {eff / ceiling:.3f} |"
+        )
     lines += [
         "",
         "\\* Raw-CPU control: pure `multiprocessing` md5 burn at the same "
