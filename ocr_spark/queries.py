@@ -151,7 +151,7 @@ def q_order_priority(spark, sf_dir):
     """F-family predicate + count per group."""
     return (
         _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01"))
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
@@ -160,7 +160,7 @@ def q_order_priority(spark, sf_dir):
 SQL_ORDER_PRIORITY = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY o_orderpriority
 """
 

@@ -60,6 +60,10 @@ def test_query_matches_oracle(spark, duck, name):
     drows = res.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) > 0, (
+        f"{name}: zero rows — a vacuous match proves nothing; widen the "
+        "query's bounds or fix the construction"
+    )
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
     mism = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
