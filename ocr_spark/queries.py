@@ -151,7 +151,12 @@ def q_order_priority(spark, sf_dir):
     """F-family predicate + count per group."""
     return (
         _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        # typed literals: a bare string comparand casts the COLUMN and
+        # blocks parquet predicate pushdown (verified via PushedFilters)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
