@@ -24,8 +24,13 @@ from pyspark.sql.pandas.functions import pandas_udf
 from ocr_spark.operators.textstats import fingerprint
 
 DEFAULT_SHINGLE = 5
-DEFAULT_SEEDS = 8
-DEFAULT_BANDS = 4  # 2 seeds per band
+# 12 seeds in 4 bands of 3: with 2-row bands a templated corpus produced
+# 1.1M candidate pairs from 5k docs (only 256 real at j>=0.5); 3-row bands
+# cut band-collision probability from s^2 to s^3 (~5x fewer false
+# candidates at s~0.3) while keeping >=0.97 recall at s>=0.9.
+DEFAULT_SEEDS = 12
+DEFAULT_BANDS = 4  # 3 seeds per band
+_SUBHASHES_PER_MD5 = 4  # md5 = 128 bits -> four 8-hex-char minhash fns
 
 
 def exact_dedup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -80,6 +85,17 @@ def shingles(col: Column, k: int = DEFAULT_SHINGLE) -> Column:
     return _shingle_expr(normalized(col), k)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input arrives under-split (e.g. a
+    single small parquet file → one task pinning a core for every
+    CPU-bound shingle/hash stage). No-op when the source already has
+    enough splits, so a 100 TB many-file input pays nothing."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(
     documents: DataFrame,
     text_col: str = "text",
@@ -88,19 +104,78 @@ def with_shingles(
     out_col: str = "sh",
 ) -> DataFrame:
     """(id, sh) with the norm pass materialized once per row (fast path)."""
-    return documents.select(
+    return _ensure_parallelism(documents).select(
         id_col, normalized(F.col(text_col)).alias("_norm")
     ).select(id_col, _shingle_expr(F.col("_norm"), k).alias(out_col))
 
 
 def minhash_signature(sh: Column, n_seeds: int = DEFAULT_SEEDS) -> Column:
-    """Array of n_seeds minhashes: min over shingles of md5(seed:shingle)."""
+    """Array of n_seeds minhashes.
+
+    One md5 per (seed-group, shingle) yields FOUR independent 32-bit
+    minhash functions (8 hex chars each) — 12 seeds cost 3 md5 passes
+    instead of 12 (md5 dominates the signature cost). Seed j uses
+    substr(md5(group_j ':' shingle), 1 + 8*(j mod 4), 8); minima are
+    lexicographic over fixed-width hex, portable to any engine with md5.
+    """
+    # constants are bound via factory-function closures, NEVER lambda
+    # default args: pyspark treats a two-parameter lambda as (element,
+    # index) and silently binds the "default" to the array index.
+    def group_hash(g: int) -> Column:
+        return F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{g}:"), s)))
+
+    def sub_min(arr: Column, off: int) -> Column:
+        return F.array_min(F.transform(arr, lambda h: F.substring(h, off, 8)))
+
+    n_groups = (n_seeds + _SUBHASHES_PER_MD5 - 1) // _SUBHASHES_PER_MD5
+    group_hashes = [group_hash(g) for g in range(n_groups)]
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
-            for seed in range(n_seeds)
+            sub_min(
+                group_hashes[j // _SUBHASHES_PER_MD5],
+                1 + 8 * (j % _SUBHASHES_PER_MD5),
+            )
+            for j in range(n_seeds)
         ]
     )
+
+
+def with_minhash(
+    sh_df: DataFrame,
+    sh_col: str = "sh",
+    out_col: str = "sig",
+    n_seeds: int = DEFAULT_SEEDS,
+) -> DataFrame:
+    """(…, sh) → (…, sig): signature with the md5 group arrays
+    MATERIALIZED as projected columns first.
+
+    The expression form (minhash_signature) re-evaluates each group's md5
+    transform once per referencing sub-seed — 4× the md5 work; a
+    projection boundary makes each group hash compute once (CollapseProject
+    leaves multi-referenced non-cheap aliases alone)."""
+    n_groups = (n_seeds + _SUBHASHES_PER_MD5 - 1) // _SUBHASHES_PER_MD5
+
+    def group_hash(g: int) -> Column:
+        return F.transform(
+            F.col(sh_col), lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
+        )
+
+    def sub_min(arr: Column, off: int) -> Column:
+        return F.array_min(F.transform(arr, lambda h: F.substring(h, off, 8)))
+
+    staged = sh_df.select(
+        "*", *[group_hash(g).alias(f"_gh{g}") for g in range(n_groups)]
+    )
+    sig = F.array(
+        *[
+            sub_min(
+                F.col(f"_gh{j // _SUBHASHES_PER_MD5}"),
+                1 + 8 * (j % _SUBHASHES_PER_MD5),
+            )
+            for j in range(n_seeds)
+        ]
+    )
+    return staged.select(*sh_df.columns, sig.alias(out_col))
 
 
 def lsh_candidate_pairs(
@@ -116,8 +191,8 @@ def lsh_candidate_pairs(
     keyed on the band hash, never a full cross join.
     """
     rows_per_band = n_seeds // n_bands
-    sig = with_shingles(documents, text_col, k).select(
-        "doc_id", minhash_signature(F.col("sh"), n_seeds).alias("sig")
+    sig = with_minhash(with_shingles(documents, text_col, k), n_seeds=n_seeds).select(
+        "doc_id", "sig"
     )
     bands = sig.select(
         "doc_id",
@@ -170,9 +245,79 @@ def jaccard_pairs(
     return out
 
 
-def near_dup_pairs(documents: DataFrame, text_col: str = "text", threshold: float = 0.7) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard."""
-    return jaccard_pairs(documents, lsh_candidate_pairs(documents, text_col), text_col, threshold=threshold)
+def near_dup_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard.
+
+    The shingle frame is persisted (memory, spill to disk): it feeds the
+    signature/banding pass AND both sides of the verify join — without
+    the persist each reference re-runs scan+normalize+shingle (three full
+    passes measured). The persist is the same disk volume a shuffle of
+    the shingles would cost, amortized across all three consumers.
+    """
+    from pyspark import StorageLevel
+
+    sh = with_shingles(documents, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    rows_per_band = DEFAULT_SEEDS // DEFAULT_BANDS
+    sig = with_minhash(sh).select("doc_id", "sig")
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(DEFAULT_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(b, on=["band", "band_hash"], how="inner")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # explicit partition counts on the verify joins: candidate rows are
+    # byte-small but each costs an array_intersect over shingle arrays, so
+    # AQE's byte-based coalescing would run the verify on ~3 tasks
+    # (measured); user-specified repartitions are exempt from coalescing
+    n_parts = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = (
+        candidates.repartition(n_parts, "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+            on="doc_a",
+        )
+        .repartition(n_parts, "doc_b")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+            on="doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
 
 
 @pandas_udf(T.LongType())

@@ -947,17 +947,21 @@ WHERE {_SQL_FIX6.format(x="CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(l
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signature (8 seeds over md5) for a doc subset."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sh = dedup.with_shingles(docs)
-    return sh.select(
-        "doc_id", F.concat_ws("|", dedup.minhash_signature(F.col("sh"))).alias("sig")
-    )
+    sig = dedup.with_minhash(dedup.with_shingles(docs))
+    return sig.select("doc_id", F.concat_ws("|", "sig").alias("sig"))
 
 
-def _sql_minhash(seeds: int = 8) -> str:
-    mins = ", ".join(
-        f"list_aggregate(list_transform(s, x -> md5('{seed}:' || x)), 'min')"
-        for seed in range(seeds)
-    )
+def _sql_minhash_exprs(seeds: int) -> list[str]:
+    """Mirror dedup.minhash_signature: seed j = min over shingles of
+    substr(md5((j//4) ':' shingle), 1 + 8*(j%4), 8)."""
+    return [
+        f"list_aggregate(list_transform(s, x -> substr(md5('{j // 4}:' || x), {1 + 8 * (j % 4)}, 8)), 'min')"
+        for j in range(seeds)
+    ]
+
+
+def _sql_minhash(seeds: int = dedup.DEFAULT_SEEDS) -> str:
+    mins = ", ".join(_sql_minhash_exprs(seeds))
     return f"list_aggregate([{mins}], 'string_agg', '|')"
 
 
@@ -978,10 +982,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def _sql_lsh_pairs() -> str:
-    mins = ", ".join(
-        f"list_aggregate(list_transform(s, x -> md5('{seed}:' || x)), 'min')"
-        for seed in range(dedup.DEFAULT_SEEDS)
-    )
+    mins = ", ".join(_sql_minhash_exprs(dedup.DEFAULT_SEEDS))
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
         + " || '|' || ".join(
