@@ -101,7 +101,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--n-docs", type=int, default=None, help="override synth corpus size")
-    ap.add_argument("--repeat", type=int, default=1, help="flagship runs; best-of timing")
+    ap.add_argument("--repeat", type=int, default=2, help="flagship runs; best-of timing")
     args = ap.parse_args()
 
     from ocr_spark.queries import CATALOG

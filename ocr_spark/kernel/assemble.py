@@ -85,9 +85,12 @@ def split_pdf_pages(batch: pd.DataFrame) -> pd.DataFrame:
     Input columns: doc_id, kind, media_ref, offset, payload.
     Output columns: doc_id, kind, media_ref, offset, page_no, page_text.
     """
-    rows = []
-    for _, r in batch.iterrows():
-        payload = r["payload"]
+    out: dict[str, list] = {c: [] for c in (
+        "doc_id", "kind", "media_ref", "offset", "page_no", "page_text")}
+    for doc_id, kind, media_ref, offset, payload in zip(
+        batch["doc_id"], batch["kind"], batch["media_ref"], batch["offset"],
+        batch["payload"],
+    ):
         pages: list[tuple[int, str]]
         try:
             pages = pdfdoc.parse_pages(bytes(payload)) if payload is not None else []
@@ -96,18 +99,13 @@ def split_pdf_pages(batch: pd.DataFrame) -> pd.DataFrame:
         if not pages:
             pages = [(1, "")]
         for page_no, text in pages:
-            rows.append(
-                {
-                    "doc_id": r["doc_id"],
-                    "kind": r["kind"],
-                    "media_ref": r["media_ref"],
-                    "offset": int(r["offset"]),
-                    "page_no": int(page_no),
-                    "page_text": text,
-                }
-            )
-    return pd.DataFrame.from_records(rows, columns=[
-        "doc_id", "kind", "media_ref", "offset", "page_no", "page_text"])
+            out["doc_id"].append(doc_id)
+            out["kind"].append(kind)
+            out["media_ref"].append(media_ref)
+            out["offset"].append(int(offset))
+            out["page_no"].append(int(page_no))
+            out["page_text"].append(text)
+    return pd.DataFrame(out)
 
 
 def reassemble_pages(group: pd.DataFrame) -> pd.DataFrame:
@@ -202,36 +200,39 @@ def fields_batch(
 
 
 def spans_from_fields(fields: pd.DataFrame) -> pd.DataFrame:
-    """FIELDS_COLUMNS rows → flat output-span rows (SPAN_ROW_COLUMNS)."""
-    out_rows = []
-    for _, row in fields.iterrows():
-        out_rows.append(
-            {
-                "doc_id": row["doc_id"],
-                "offset": int(row["offset"]),
-                "seq": 0,
-                "kind": "text",
-                "text": row["norm_text"],
-                "media_ref": row["media_ref"] or "",
-            }
-        )
+    """FIELDS_COLUMNS rows → flat output-span rows (SPAN_ROW_COLUMNS).
+
+    Column-list iteration, not iterrows — this runs once per span row in
+    the hot path and pandas row views cost ~100 µs each.
+    """
+    field_kinds = [f"field:{name}" for name in FIELD_SPAN_ORDER]
+    field_cols = [fields[name].tolist() for name in FIELD_SPAN_ORDER]
+    out: dict[str, list] = {c: [] for c in SPAN_ROW_COLUMNS}
+    d_doc, d_off, d_seq = out["doc_id"], out["offset"], out["seq"]
+    d_kind, d_text, d_ref = out["kind"], out["text"], out["media_ref"]
+    for i, (doc_id, offset, norm_text, media_ref) in enumerate(
+        zip(fields["doc_id"], fields["offset"], fields["norm_text"], fields["media_ref"])
+    ):
+        off = int(offset)
+        d_doc.append(doc_id)
+        d_off.append(off)
+        d_seq.append(0)
+        d_kind.append("text")
+        d_text.append(norm_text)
+        d_ref.append(media_ref or "")
         seq = 1
-        for name in FIELD_SPAN_ORDER:
-            value = row[name]
+        for kind, col in zip(field_kinds, field_cols):
+            value = col[i]
             if value is None or (isinstance(value, float) and pd.isna(value)):
                 continue
-            out_rows.append(
-                {
-                    "doc_id": row["doc_id"],
-                    "offset": int(row["offset"]),
-                    "seq": seq,
-                    "kind": f"field:{name}",
-                    "text": str(value),
-                    "media_ref": "",
-                }
-            )
+            d_doc.append(doc_id)
+            d_off.append(off)
+            d_seq.append(seq)
+            d_kind.append(kind)
+            d_text.append(str(value))
+            d_ref.append("")
             seq += 1
-    return pd.DataFrame.from_records(out_rows, columns=SPAN_ROW_COLUMNS)
+    return pd.DataFrame(out, columns=SPAN_ROW_COLUMNS)
 
 
 def process_batch(
