@@ -53,14 +53,14 @@ def _decode_stub(payload: bytes) -> dict:
 def _features_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in it:
         rows = []
-        for _, r in batch.iterrows():
-            payload = bytes(r["payload"]) if r["payload"] is not None else b""
+        for media_ref, payload in zip(batch["media_ref"], batch["payload"]):
+            payload = bytes(payload) if payload is not None else b""
             try:
                 feats = _decode_stub(payload)
             except NotImplementedError:
                 feats = {"format": None, "width": None, "height": None,
                          "phash": None, "ocr_text": None}
-            rows.append({"media_ref": r["media_ref"], "n_bytes": len(payload), **feats})
+            rows.append({"media_ref": media_ref, "n_bytes": len(payload), **feats})
         yield pd.DataFrame.from_records(
             rows, columns=[f.name for f in MEDIA_FEATURES.fields]
         )
