@@ -4,10 +4,13 @@
   (`zip_with` + `aggregate`, no Python);
 * LSH-bucketed variant (random-hyperplane signs) — the scale path: the
   probe join is keyed on the hyperplane signature, so candidate
-  generation never cross-joins the corpus.
+  generation never cross-joins the corpus;
+* IVF-flat variant — corpus partitioned into inverted lists by nearest
+  centroid (one Lloyd refinement over deterministic md5-seeded starts);
+  a query probes only its ``nprobe`` closest lists.
 
-Hyperplanes are derived deterministically from md5 — no RNG state, so any
-engine (and any rerun) regenerates identical planes.
+Hyperplanes/centroid seeds are derived deterministically from md5 — no
+RNG state, so any engine (and any rerun) regenerates identical structures.
 """
 
 from __future__ import annotations
@@ -86,6 +89,120 @@ def signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
         bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _centroid_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<neg, cid>> of negated cosine per centroid — sortable,
+    and LINEAR in centroid count. (A when-chain argmin references the
+    running best twice per step, doubling the expression tree per
+    centroid: 16 centroids OOM'd the driver during analysis.)"""
+    return F.array(
+        *[
+            F.struct(
+                (-cosine(vec, F.array(*[F.lit(v) for v in cvec]))).alias("neg"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+
+
+def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Argmin centroid id by cosine distance via array_sort (linear tree)."""
+    return F.element_at(F.array_sort(_centroid_sims(vec, centroids)), 1)["cid"]
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF centroids: seed with md5-ranked corpus vectors,
+    then ``refine_iters`` Lloyd steps computed distributively
+    (assign = JVM expression chain, update = groupBy + element-wise avg
+    via posexplode — no driver-side loops over vectors)."""
+    seeds = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_r", F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))))
+        .orderBy("_r")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [(i, list(map(float, r[vec_col]))) for i, r in enumerate(seeds)]
+    for _ in range(refine_iters):
+        # the generator must live in its own projection: placing posexplode
+        # beside the struct-sorting argmin strips the struct field names
+        # during the Generate rewrite (FIELD_NOT_FOUND col1/col2)
+        assigned = embeddings.select(
+            F.col(vec_col).alias("_v"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("list_id"),
+        ).select("list_id", F.posexplode("_v").alias("dim_idx", "val"))
+        means = (
+            assigned.groupBy("list_id", "dim_idx")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "m"))).alias("dims"))
+            .select("list_id", F.transform("dims", lambda d: d["m"]).alias("centroid"))
+            .collect()
+        )
+        refined = {int(r["list_id"]): list(map(float, r["centroid"])) for r in means}
+        centroids = [
+            (cid, refined.get(cid, cvec)) for cid, cvec in centroids
+        ]
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the corpus is bucketed by nearest
+    centroid; each query scans only its ``nprobe`` nearest lists. The
+    probe is an equi-join on ``list_id`` — at 10^12 scale the inverted
+    lists replace the per-query corpus scan, and the centroid table is a
+    driver-side literal (n_lists ≤ a few thousand)."""
+    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("list_id"),
+    )
+    # per-query nprobe nearest centroids, exploded to probe rows
+    cent_sims = _centroid_sims(F.col("qv"), centroids)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cent_sims), 1, nprobe), lambda s: s["cid"]
+                )
+            ),
+        )
+    )
+    scored = (
+        q.join(corpus, on="list_id", how="inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
 
 
 def lsh_topk(

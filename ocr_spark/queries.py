@@ -1107,6 +1107,14 @@ def q_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-flat ANN (inverted lists by nearest centroid, nprobe probing)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, nprobe=4
+    )
+
+
 def q_extraction_pipeline(spark, sf_dir):
     """Flagship: full span pipeline over synthesized interleaved docs."""
     from ocr_spark.corpus import COMPANIES, SUPPLIERS
@@ -1179,6 +1187,7 @@ CATALOG: dict[str, tuple] = {
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, None),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
+    "ivf_ann_topk": (q_ivf_ann_topk, None),
     "extraction_pipeline": (q_extraction_pipeline, None),
     "media_features": (q_media_features, None),
 }
