@@ -245,6 +245,49 @@ def jaccard_pairs(
     return out
 
 
+def with_winnow_fingerprints(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    window: int = 4,
+    id_col: str = "doc_id",
+    out_col: str = "fps",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash every
+    ORDERED k-gram (rolling window of the canonical text), then keep the
+    minimum hash of each length-``window`` run; distinct minima are the
+    document's fingerprint set. Two docs sharing a sufficiently long
+    substring share a fingerprint — the rolling-hash dedup primitive.
+
+    Staged projections materialize the norm text and the gram-hash array
+    before any HOF references them (per-element re-evaluation otherwise).
+    """
+    normed = _ensure_parallelism(documents).select(
+        id_col, normalized(F.col(text_col)).alias("_norm")
+    )
+    grams = normed.select(
+        id_col,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1))
+            ),
+            lambda i: F.md5(F.substring(F.col("_norm"), i, k)),
+        ).alias("_h"),
+    )
+    n_windows = F.greatest(F.size("_h") - F.lit(window - 1), F.lit(1))
+    return grams.select(
+        id_col,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda j: F.array_min(F.slice(F.col("_h"), j, window)),
+                )
+            )
+        ).alias(out_col),
+    )
+
+
 def near_dup_pairs(
     documents: DataFrame,
     text_col: str = "text",

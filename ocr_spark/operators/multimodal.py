@@ -69,3 +69,86 @@ def _features_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def media_features(media: DataFrame) -> DataFrame:
     """media(media_ref, payload) → typed feature rows; Arrow-batched."""
     return media.mapInPandas(_features_map, schema=MEDIA_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample (stubbed codecs, real Spark plumbing)
+# ---------------------------------------------------------------------------
+
+RESIZED = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FRAMES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+# deterministic fake multi-frame container: FAKEVID: + frames joined by \x00
+VIDEO_MARKER = b"FAKEVID:"
+_FRAME_SEP = b"\x00"
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """A real backend (cv2.resize / PIL.thumbnail) drops in here; the stub
+    re-encodes deterministically so tests can assert the batch path."""
+    if payload.startswith(IMAGE_MARKER):
+        body = payload[len(IMAGE_MARKER):]
+        return IMAGE_MARKER + f"resized:{width}x{height}:".encode() + body
+    raise NotImplementedError("real image resize requires cv2/PIL")
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Batched image resize; rows whose payload can't be decoded carry a
+    null payload instead of failing the task (per-row errors must never
+    kill a 10^12-doc job)."""
+
+    def _map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            out = {"media_ref": [], "width": [], "height": [], "payload": []}
+            for media_ref, payload in zip(batch["media_ref"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    resized = _resize_stub(payload, width, height)
+                    out["width"].append(width)
+                    out["height"].append(height)
+                except NotImplementedError:
+                    resized = None
+                    out["width"].append(None)
+                    out["height"].append(None)
+                out["media_ref"].append(media_ref)
+                out["payload"].append(resized)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_map, schema=RESIZED)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (frame 0, k,
+    2k, …) — the explode-shaped op whose row count is data-dependent, so
+    it must be a mapInPandas yielding variable-length batches, never a
+    per-row UDF."""
+
+    def _map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            out = {"media_ref": [], "frame_no": [], "payload": []}
+            for media_ref, payload in zip(batch["media_ref"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if not payload.startswith(VIDEO_MARKER):
+                    continue  # not a video container; a real codec dispatches here
+                frames = payload[len(VIDEO_MARKER):].split(_FRAME_SEP)
+                for i in range(0, len(frames), every_k):
+                    out["media_ref"].append(media_ref)
+                    out["frame_no"].append(i)
+                    out["payload"].append(frames[i])
+            yield pd.DataFrame(out, columns=["media_ref", "frame_no", "payload"])
+
+    return media.mapInPandas(_map, schema=FRAMES)

@@ -944,6 +944,39 @@ WHERE {_SQL_FIX6.format(x="CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(l
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (k=5, window=4) per document."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fps = dedup.with_winnow_fingerprints(docs)
+    return fps.select(
+        "doc_id",
+        F.concat_ws("|", "fps").alias("fps"),
+        F.size("fps").alias("n_fps"),
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH n AS (
+  SELECT doc_id, {_SQL_NORM} AS norm FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(norm) - 4, 1)),
+           i -> md5(substring(norm, i, 5))) AS h
+  FROM n
+), w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(len(h) - 3, 1)),
+           j -> list_aggregate(list_slice(h, j, j + 3), 'min')))) AS fps
+  FROM g
+)
+SELECT doc_id, list_aggregate(fps, 'string_agg', '|') AS fps,
+       CAST(len(fps) AS INT) AS n_fps
+FROM w
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signature (8 seeds over md5) for a doc subset."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1132,17 +1165,47 @@ def q_extraction_pipeline(spark, sf_dir):
     return invoices
 
 
-def q_media_features(spark, sf_dir):
-    from ocr_spark.operators.multimodal import media_features
+def _synth_media(spark, n=100):
     from ocr_spark.schemas import MEDIA
     from ocr_spark.synth import synth_frames
 
-    _, media_pd = synth_frames(100)
-    media = spark.createDataFrame(
+    _, media_pd = synth_frames(n)
+    return spark.createDataFrame(
         [(r["media_ref"], bytearray(r["payload"])) for _, r in media_pd.iterrows()],
         schema=MEDIA,
     )
-    return media_features(media)
+
+
+def q_media_features(spark, sf_dir):
+    from ocr_spark.operators.multimodal import media_features
+
+    return media_features(_synth_media(spark))
+
+
+def q_media_resize(spark, sf_dir):
+    from ocr_spark.operators.multimodal import resize_images
+
+    return resize_images(_synth_media(spark), 224, 224)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from ocr_spark.operators.multimodal import VIDEO_MARKER, sample_frames
+    from ocr_spark.schemas import MEDIA
+
+    videos = spark.createDataFrame(
+        [
+            (
+                f"media://video/{i}",
+                bytearray(
+                    VIDEO_MARKER
+                    + b"\x00".join(f"v{i}f{j}".encode() for j in range(5 + i % 4))
+                ),
+            )
+            for i in range(50)
+        ],
+        schema=MEDIA,
+    )
+    return sample_frames(videos, every_k=2)
 
 
 # --------------------------------------------------------------------------
@@ -1180,6 +1243,7 @@ CATALOG: dict[str, tuple] = {
     "textstats": (q_textstats, SQL_TEXTSTATS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
@@ -1190,4 +1254,6 @@ CATALOG: dict[str, tuple] = {
     "ivf_ann_topk": (q_ivf_ann_topk, None),
     "extraction_pipeline": (q_extraction_pipeline, None),
     "media_features": (q_media_features, None),
+    "media_resize": (q_media_resize, None),
+    "media_frame_sample": (q_media_frame_sample, None),
 }
