@@ -170,6 +170,59 @@ GROUP BY o_orderpriority
 """
 
 
+def q_priority_rollup(spark, sf_dir):
+    """ROLLUP aggregation (beyond the reference — native Catalyst
+    grouping sets; SURVEY.md §2.4 note)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            money2(F.sum("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+SQL_PRIORITY_ROLLUP = f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       {_SQL_MONEY2.format(x='sum(o_totalprice)')} AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti join (the semi/anti family the reference implies via
+    first-match-wins dim scans, SURVEY.md §2.3)."""
+    cust = _t(spark, sf_dir, "customer")
+    # every synthetic customer has SOME order (the unscoped anti-join is
+    # empty — caught by the vacuous-match guard), so scope to a year
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+"""
+
+
 def q_running_total(spark, sf_dir):
     """Window running sum per customer (SURVEY §2.5 analogue)."""
     w = (
@@ -1218,6 +1271,8 @@ CATALOG: dict[str, tuple] = {
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
+    "priority_rollup": (q_priority_rollup, SQL_PRIORITY_ROLLUP),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "customer_order_span": (q_customer_order_span, SQL_CUSTOMER_ORDER_SPAN),
     "last100_avg": (q_last100_avg, SQL_LAST100_AVG),
