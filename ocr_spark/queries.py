@@ -1079,6 +1079,13 @@ def _sql_lsh_pairs() -> str:
         for b in range(dedup.DEFAULT_BANDS)
     )
     jac = "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s)))"
+    # signature-agreement prefilter: same integer cutoff as
+    # dedup.near_dup_pairs(est_prefilter=0.35) via the shared helper
+    need = dedup.min_sig_matches(0.35)
+    agree = (
+        f"list_sum(list_transform(generate_series(1, {dedup.DEFAULT_SEEDS}), "
+        f"i -> CASE WHEN ga.sig[i] = gb.sig[i] THEN 1 ELSE 0 END))"
+    )
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
@@ -1090,9 +1097,15 @@ WITH sh AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), pref AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig ga ON ga.doc_id = c.doc_a
+  JOIN sig gb ON gb.doc_id = c.doc_b
+  WHERE {agree} >= {need}
 )
 SELECT c.doc_a, c.doc_b, {_SQL_FIX6.format(x=jac)} AS jaccard
-FROM cand c
+FROM pref c
 JOIN sh sa ON sa.doc_id = c.doc_a
 JOIN sh sb ON sb.doc_id = c.doc_b
 WHERE {jac} >= 0.5
