@@ -77,9 +77,16 @@ def noop_write(df) -> None:
 def run_flagship(spark, n_docs: int, repeat: int = 1) -> dict:
     """Extraction pipeline over the synth corpus → docs/sec (best of
     ``repeat`` runs: the first run pays the one-time Python-worker-pool +
-    codegen warmup, so repeat>=2 measures steady-state throughput)."""
+    codegen warmup, so repeat>=2 measures steady-state throughput).
+
+    BOTH outputs (extracted_spans + invoices) are written — the r02
+    shared-FIELDS pipeline runs the kernel once for the pair, which is
+    the production shape (jobs/extract.py writes both tables).  The
+    persisted FIELDS frame is dropped between repeats so best-of timing
+    never reads a previous run's cache.
+    """
     from ocr_spark.corpus import COMPANIES, SUPPLIERS
-    from ocr_spark.operators.extract import run_pipeline
+    from ocr_spark.operators.extract import build_pipeline
     from ocr_spark.sources.tables import load_span_documents
 
     base = synth_dir(n_docs)
@@ -87,11 +94,13 @@ def run_flagship(spark, n_docs: int, repeat: int = 1) -> dict:
     best = float("inf")
     for _ in range(max(1, repeat)):
         t0 = time.monotonic()
-        extracted, _invoices = run_pipeline(
+        frames = build_pipeline(
             spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS
         )
-        noop_write(extracted)
+        noop_write(frames.extracted_spans)
+        noop_write(frames.invoices)
         best = min(best, time.monotonic() - t0)
+        frames.unpersist()
     return {"sec": round(best, 3), "n_docs": n_docs, "docs_per_sec": round(n_docs / best, 2)}
 
 

@@ -38,11 +38,18 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--page-split-bytes", type=int, default=None)
+    ap.add_argument(
+        "--invoices-out",
+        default=None,
+        help="also write the flat invoices table (parquet dir); the shared-"
+        "FIELDS pipeline derives it from the SAME kernel execution as the "
+        "spans output — writing both costs one extraction pass, not two",
+    )
     ap.add_argument("--master", default=None, help="override (default: env/local)")
     args = ap.parse_args()
 
     from ocr_spark.corpus import COMPANIES, SUPPLIERS
-    from ocr_spark.operators.extract import run_pipeline
+    from ocr_spark.operators.extract import build_pipeline
     from ocr_spark.schemas import DOCUMENTS, MEDIA
     from ocr_spark.session import get_spark
     from ocr_spark.sources.manifests import checkpointed_write
@@ -51,7 +58,7 @@ def main() -> None:
     t0 = time.monotonic()
     docs = spark.read.schema(DOCUMENTS).parquet(args.docs)
     media = spark.read.schema(MEDIA).parquet(args.media) if args.media else None
-    extracted, _invoices = run_pipeline(
+    frames = build_pipeline(
         spark,
         docs,
         media,
@@ -62,11 +69,15 @@ def main() -> None:
     )
     stats = checkpointed_write(
         spark,
-        extracted,
+        frames.extracted_spans,
         args.out,
         n_buckets=args.buckets,
         input_snapshot=args.snapshot,
     )
+    if args.invoices_out:
+        frames.invoices.write.mode("overwrite").parquet(args.invoices_out)
+        stats["invoices_out"] = args.invoices_out
+    frames.unpersist()
     stats["wall_sec"] = round(time.monotonic() - t0, 2)
     print(json.dumps(stats))
     spark.stop()

@@ -90,6 +90,48 @@ def test_paged_path_span_equality(spark, synth_dfs):
         assert got[doc_id] == exp, f"paged-path span mismatch for {doc_id}"
 
 
+def test_single_kernel_execution_for_both_outputs(spark, synth_dfs):
+    """r02 fix (VERDICT r01 #3): writing BOTH tables must run the Python
+    extraction kernel ONCE.  After the spans output materializes, the
+    shared FIELDS frame is fully cached and the invoices job reads
+    InMemoryTableScan — no second kernel pass in its executed plan."""
+    from ocr_spark.operators.extract import build_pipeline
+
+    docs, media = synth_dfs
+    frames = build_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS, num_partitions=8
+    )
+    try:
+        frames.extracted_spans.count()  # materializes fields into the cache
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert any(i.numCachedPartitions() > 0 for i in infos), "fields not cached"
+        frames.invoices.count()
+        plan = frames.invoices._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        # the executed invoice plan on top of the cache contains no second
+        # Python stage — the only MapInPandas lives INSIDE the cached
+        # relation's replay plan, which a cache hit never executes
+        above_cache = plan.split("InMemoryTableScan")[0]
+        assert "MapInPandas" not in above_cache, above_cache
+    finally:
+        frames.unpersist()
+
+
+def test_paged_invoices_honor_page_split(spark, synth_dfs):
+    """ADVICE r01: the invoices output used to silently ignore
+    page_split_bytes; the shared-FIELDS pipeline routes both outputs
+    through the paged kernel, so invoices must be identical either way."""
+    docs, media = synth_dfs
+    base = run_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS, num_partitions=8
+    )[1].toPandas().sort_values("invoice_id").reset_index(drop=True)
+    paged = run_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS,
+        num_partitions=8, page_split_bytes=64 * 1024,
+    )[1].toPandas().sort_values("invoice_id").reset_index(drop=True)
+    assert base.equals(paged)
+
+
 def test_oversized_pdf_split_covered(synth_dfs):
     """The synth corpus must actually exercise the skew path."""
     _, media = synth_dfs
