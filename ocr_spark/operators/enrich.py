@@ -59,6 +59,47 @@ def supplier_detail_join(facts: DataFrame, suppliers: DataFrame, name_col: str) 
     )
 
 
+def trigram_top1_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    fact_id: str,
+    fact_text: str,
+    dim_text: str,
+    k: int = 3,
+) -> DataFrame:
+    """J5 parity with pg_trgm ranking (`similarity(a, b)` = trigram-set
+    Jaccard, ml_enhanced_extractor.py:111-121): score = |T(a) ∩ T(b)| /
+    |T(a) ∪ T(b)| over character 3-shingles of the canonicalized text,
+    top-1 per fact with deterministic tie-break.  Documented deviation:
+    unpadded trigrams (pg_trgm pads with two leading/one trailing space);
+    the ranking behavior is the same and the construction is portable —
+    the DuckDB oracle twin rebuilds the identical shingle sets.
+
+    Dims broadcast (tiny, as in the reference's in-memory dim scan); the
+    fact side never shuffles."""
+    from ocr_spark.operators.dedup import _shingle_expr, normalized
+
+    f = facts.select(
+        fact_id, normalized(F.col(fact_text)).alias("_fn")
+    ).select(fact_id, _shingle_expr(F.col("_fn"), k).alias("_fsh"))
+    d = F.broadcast(
+        dims.select(
+            F.col(dim_text).alias("_cand"), normalized(F.col(dim_text)).alias("_dn")
+        ).select("_cand", _shingle_expr(F.col("_dn"), k).alias("_dsh"))
+    )
+    scored = f.join(d, how="cross").withColumn(
+        "_sim",
+        F.size(F.array_intersect("_fsh", "_dsh"))
+        / F.size(F.array_union("_fsh", "_dsh")),
+    )
+    w = Window.partitionBy(fact_id).orderBy(F.col("_sim").desc(), F.col("_cand").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(fact_id, F.col("_cand").alias("best_match"), F.col("_sim").alias("similarity"))
+    )
+
+
 def fuzzy_top1_join(
     facts: DataFrame,
     dims: DataFrame,

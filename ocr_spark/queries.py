@@ -333,6 +333,130 @@ SELECT s_suppkey, best_match, distance FROM (
 ) WHERE rn = 1
 """
 
+def q_fuzzy_top1_trgm(spark, sf_dir):
+    """J5 parity with pg_trgm ranking: trigram-set Jaccard top-1
+    (ml_enhanced_extractor.py:111-121), alongside the levenshtein variant."""
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 20)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    out = enrich.trigram_top1_join(
+        sup.select("s_suppkey", "s_name"), cust.select("c_name"),
+        fact_id="s_suppkey", fact_text="s_name", dim_text="c_name",
+    )
+    return out.select("s_suppkey", "best_match", fix6(F.col("similarity")).alias("similarity"))
+
+
+def _sql_trigrams(expr: str) -> str:
+    norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"generate_series(1, greatest(length({norm}) - 2, 1)), "
+        f"i -> substring({norm}, i, 3))))"
+    )
+
+
+SQL_FUZZY_TOP1_TRGM = f"""
+WITH f AS (
+  SELECT s_suppkey, {_sql_trigrams('s_name')} AS fsh
+  FROM supplier WHERE s_suppkey <= 20
+), d AS (
+  SELECT c_name, {_sql_trigrams('c_name')} AS dsh
+  FROM customer WHERE c_custkey <= 200
+), scored AS (
+  SELECT s_suppkey, c_name AS best_match,
+         CAST(len(list_intersect(fsh, dsh)) AS DOUBLE)
+           / len(list_distinct(list_concat(fsh, dsh))) AS sim
+  FROM f CROSS JOIN d
+)
+SELECT s_suppkey, best_match, {_SQL_FIX6.format(x='sim')} AS similarity FROM (
+  SELECT s_suppkey, best_match, sim,
+         row_number() OVER (PARTITION BY s_suppkey
+                            ORDER BY sim DESC, best_match ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def q_vat_imputation(spark, sf_dir):
+    """The ML family's historical VAT imputation as a distributed job
+    (ml_enhanced_extractor.py:165-205 / kernel/ml.py): last-100 history
+    rows → mean rate within [0.15, 0.25] → float-truthy coalesce onto
+    rows with missing vat/ttc.  The 1-row rate aggregate broadcasts; the
+    fact side never shuffles."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    hist = (
+        li.orderBy(F.col("l_orderkey").desc(), F.col("l_linenumber").desc())
+        .limit(100)
+        .select(
+            money2(F.col("l_extendedprice")).alias("ht"),
+            money2(
+                F.col("l_extendedprice") * ((F.col("l_orderkey") % 30) / F.lit(100.0))
+            ).alias("vat"),
+        )
+    )
+    rate_row = hist.filter(
+        (F.col("ht") > 0)
+        & (F.col("vat") / F.col("ht")).between(0.15, 0.25)
+    ).agg(fix6(F.avg(F.col("vat") / F.col("ht"))).alias("avg_rate"))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    rows = o.select(
+        "o_orderkey",
+        money2(F.col("o_totalprice")).alias("ht"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(money2(F.col("o_totalprice") * 0.2))
+        .alias("vat_raw"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(money2(F.col("o_totalprice") * 1.2))
+        .alias("ttc_raw"),
+    ).join(F.broadcast(rate_row), how="cross")
+    vat = F.when(
+        (F.coalesce("vat_raw", F.lit(0.0)) == 0.0) & (F.col("ht") > 0) & F.col("avg_rate").isNotNull(),
+        money2(F.col("ht") * F.col("avg_rate")),
+    ).otherwise(F.col("vat_raw"))
+    stepped = rows.select("o_orderkey", "ht", "vat_raw", "ttc_raw", "avg_rate", vat.alias("vat"))
+    ttc = F.when(
+        (F.coalesce("ttc_raw", F.lit(0.0)) == 0.0) & (F.col("ht") > 0) & F.col("vat").isNotNull(),
+        money2(F.col("ht") + F.col("vat")),
+    ).otherwise(F.col("ttc_raw"))
+    return stepped.select(
+        "o_orderkey", "ht", "vat", ttc.alias("ttc"),
+        (F.col("vat_raw").isNull() & F.col("vat").isNotNull()).alias("vat_imputed"),
+        (F.col("ttc_raw").isNull() & ttc.isNotNull()).alias("ttc_imputed"),
+    )
+
+
+SQL_VAT_IMPUTATION = f"""
+WITH hist AS (
+  SELECT {_SQL_MONEY2.format(x='l_extendedprice')} AS ht,
+         {_SQL_MONEY2.format(x='l_extendedprice * ((l_orderkey % 30) / 100.0)')} AS vat
+  FROM lineitem WHERE l_orderkey <= 2000
+  ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 100
+), rate AS (
+  SELECT {_SQL_FIX6.format(x='avg(vat / ht)')} AS avg_rate
+  FROM hist WHERE ht > 0 AND vat / ht BETWEEN 0.15 AND 0.25
+), rows_ AS (
+  SELECT o_orderkey,
+         {_SQL_MONEY2.format(x='o_totalprice')} AS ht,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE {_SQL_MONEY2.format(x='o_totalprice * 0.2')} END AS vat_raw,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE {_SQL_MONEY2.format(x='o_totalprice * 1.2')} END AS ttc_raw
+  FROM orders WHERE o_orderkey <= 3000
+), v AS (
+  SELECT o_orderkey, ht, vat_raw, ttc_raw, avg_rate,
+         CASE WHEN coalesce(vat_raw, 0.0) = 0.0 AND ht > 0 AND avg_rate IS NOT NULL
+              THEN {_SQL_MONEY2.format(x='ht * avg_rate')} ELSE vat_raw END AS vat
+  FROM rows_ CROSS JOIN rate
+)
+SELECT o_orderkey, ht, vat,
+       CASE WHEN coalesce(ttc_raw, 0.0) = 0.0 AND ht > 0 AND vat IS NOT NULL
+            THEN {_SQL_MONEY2.format(x='ht + vat')} ELSE ttc_raw END AS ttc,
+       (vat_raw IS NULL AND vat IS NOT NULL) AS vat_imputed,
+       (ttc_raw IS NULL AND (CASE WHEN coalesce(ttc_raw, 0.0) = 0.0 AND ht > 0 AND vat IS NOT NULL
+                                  THEN {_SQL_MONEY2.format(x='ht + vat')} ELSE ttc_raw END) IS NOT NULL) AS ttc_imputed
+FROM v
+"""
+
+
 # ERP-style containment dim (J1): keyword list stands in for the company
 # table; dim order = priority, exactly as the reference iterates its dims.
 _ERP_DIM = [(1, "spark"), (2, "hash"), (3, "merge"), (4, "window"), (5, "scan")]
@@ -1292,6 +1416,8 @@ CATALOG: dict[str, tuple] = {
     "distinct_segments": (q_distinct_segments, SQL_DISTINCT_SEGMENTS),
     "count_stats": (q_count_stats, SQL_COUNT_STATS),
     "fuzzy_top1": (q_fuzzy_top1, SQL_FUZZY_TOP1),
+    "fuzzy_top1_trgm": (q_fuzzy_top1_trgm, SQL_FUZZY_TOP1_TRGM),
+    "vat_imputation": (q_vat_imputation, SQL_VAT_IMPUTATION),
     "erp_containment": (q_erp_containment, SQL_ERP_CONTAINMENT),
     "supplier_fallback": (q_supplier_fallback, SQL_SUPPLIER_FALLBACK),
     "supplier_detail": (q_supplier_detail, SQL_SUPPLIER_DETAIL),

@@ -15,7 +15,7 @@ import pandas as pd
 import pytest
 
 from ocr_spark.corpus import COMPANIES, SUPPLIERS
-from ocr_spark.kernel import basic, llm, swiss
+from ocr_spark.kernel import basic, llm, ml, swiss
 from ocr_spark.kernel.textnorm import clean_llm, clean_swiss
 
 
@@ -117,6 +117,47 @@ def test_swiss_family_matches_reference(goldens, texts):
         assert row["currency"] == g["currency"], name
         for slot in ("total_ttc", "total_ht", "tva"):
             assert _norm(row[slot]) == g["amounts"].get(slot), (name, slot)
+
+
+def test_ml_family_matches_reference(goldens, texts):
+    """ML family (pattern re-extraction + validation) vs the EXECUTED
+    MLEnhancedExtractor chain (history → patterns → validate, DB branches
+    degrading exactly as deployed) — tools/gen_goldens.py §ml."""
+    names = list(texts)
+    out = ml.extract(pd.Series([texts[n] for n in names]))
+    for i, name in enumerate(names):
+        g = _decode(goldens[name]["ml"])
+        row = out.iloc[i]
+        # pure pattern helpers on the raw text
+        assert _norm(ml.extract_invoice_number_ml(texts[name])) == g["number_ml"], name
+        assert ml.extract_dates_ml(texts[name]) == g["dates_ml"], name
+        assert ml.extract_amounts_ml(texts[name]) == g["amounts_ml"], name
+        # full enhanced record
+        assert _norm(row["invoice_number"]) == g["invoice_number"], name
+        assert _norm(row["invoice_date"]) == g["invoice_date"], name
+        assert _norm(row["due_date"]) == g["due_date"], name
+        for mine, ref in (
+            ("subtotal_excl_vat", "subtotal_excl_vat"),
+            ("total_vat", "total_vat"),
+            ("total_incl_vat", "total_incl_vat"),
+        ):
+            assert _norm(row[mine]) == g[ref], (name, mine)
+        assert row["ml_required_fields_present"] == g["required_fields_present"], name
+        assert row["ml_data_quality_score"] == g["data_quality_score"], name
+        assert row["ml_calculation_check"] == g["calculation_check"], name
+
+
+def test_ml_historical_imputation():
+    """The history layer (ml_enhanced_extractor.py:165-205) modeled as
+    avg-rate aggregation + float-truthy imputation."""
+    hist = [(100.0, 20.0), (200.0, 40.0), (100.0, 50.0), (None, 5.0), (0.0, 1.0)]
+    rate = ml.historical_avg_vat_rate(hist)
+    assert rate == 0.2  # 0.5-rate row filtered by the [0.15, 0.25] band
+    assert ml.impute_amounts(100.0, None, None, rate) == (100.0, 20.0, 120.0)
+    assert ml.impute_amounts(100.0, 0.0, None, rate) == (100.0, 20.0, 120.0)  # 0.0 absent
+    assert ml.impute_amounts(None, None, 50.0, rate) == (None, None, 50.0)
+    assert ml.impute_amounts(100.0, 15.0, None, rate) == (100.0, 15.0, 115.0)
+    assert ml.historical_avg_vat_rate([(100.0, 50.0)]) is None
 
 
 def test_basic_date_lattice():

@@ -47,6 +47,10 @@ def _install_stubs() -> None:
     sqlalchemy = types.ModuleType("sqlalchemy")
     sqlalchemy.text = lambda q: q
     sys.modules["sqlalchemy"] = sqlalchemy
+    sqlalchemy_orm = types.ModuleType("sqlalchemy.orm")
+    sqlalchemy_orm.Session = object
+    sys.modules["sqlalchemy.orm"] = sqlalchemy_orm
+    sqlalchemy.orm = sqlalchemy_orm
 
     conn = types.ModuleType("src.database.connection")
 
@@ -75,6 +79,7 @@ def main(n_items: int = 40) -> None:
 
     from src.extraction.data_extractor import DataExtractor  # noqa: E402
     import src.extraction.llm_enhanced_extractor as llm_mod  # noqa: E402
+    import src.extraction.ml_enhanced_extractor as ml_mod  # noqa: E402
     import src.extraction.swiss_invoice_extractor as swiss_mod  # noqa: E402
 
     # freeze `date.today()` (llm_enhanced_extractor.py:241)
@@ -90,6 +95,19 @@ def main(n_items: int = 40) -> None:
     llm.companies_data = [dict(c) for c in COMPANIES]
     llm.suppliers_data = [dict(s) for s in SUPPLIERS]
     swiss = swiss_mod.SwissInvoiceExtractor()
+
+    # ML family: skip DB __init__; db.execute raises, which is exactly the
+    # deployed behavior of the similarity/history queries (pg_trgm missing /
+    # caught per-method), so every DB branch degrades as in production.
+    class _FailingDB:
+        def execute(self, *a, **k):
+            raise RuntimeError("no database in golden generation")
+
+        def close(self):  # __del__ calls this
+            pass
+
+    ml = object.__new__(ml_mod.MLEnhancedExtractor)
+    ml.db = _FailingDB()
 
     goldens = {}
     for name, text in corpus(n_items):
@@ -122,6 +140,28 @@ def main(n_items: int = 40) -> None:
                 "contact": llm._llm_extract_contact_info(clean),
                 "company": llm._find_company_in_text(clean),
                 "supplier": llm._find_supplier_in_text(clean),
+            }
+        )
+
+        # --- ml family (MLEnhancedExtractor minus the DB save) --------------
+        ml_base = basic.extract_invoice_data(text)
+        ml_e1 = ml._enhance_with_historical_data(ml_base, text)
+        ml_e2 = ml._enhance_with_pattern_recognition(ml_e1, text)
+        ml_v = ml._ml_validate_and_correct(ml_e2, text)
+        entry["ml"] = _jsonable(
+            {
+                "number_ml": ml._extract_invoice_number_ml(text),
+                "dates_ml": ml._extract_dates_ml(text),
+                "amounts_ml": ml._extract_amounts_ml(text),
+                "invoice_number": ml_v.invoice.number if ml_v.invoice else None,
+                "invoice_date": ml_v.invoice.date if ml_v.invoice else None,
+                "due_date": ml_v.invoice.due_date if ml_v.invoice else None,
+                "subtotal_excl_vat": ml_v.totals.subtotal_excl_vat if ml_v.totals else None,
+                "total_vat": ml_v.totals.total_vat if ml_v.totals else None,
+                "total_incl_vat": ml_v.totals.total_incl_vat if ml_v.totals else None,
+                "required_fields_present": ml_v.validation.required_fields_present,
+                "data_quality_score": ml_v.validation.data_quality_score,
+                "calculation_check": ml_v.validation.calculation_check,
             }
         )
 
