@@ -15,16 +15,29 @@ Per input span, in offset order, the output sequence is:
 
 Field values come from the reference's merge lattice
 (/root/reference/src/services/invoice_service.py:249-362): LLM family
-first, Swiss family as falsy-fallback, then defaults.  The Swiss DB
-lookups (company/supplier) contribute nothing — the reference's SQL
-queries name columns that don't exist (``supplier_name``,
-``company_erp_code`` vs the LLM path's working ``social_reason`` query),
-fail, and return None (swiss_invoice_extractor.py:136-142,177-182 vs
-database/models.py:20-48) — so the lattice here models them as None.
+first, Swiss family as falsy-fallback, then defaults.  Against a
+models.py-provisioned DB the lookups split as follows (FIXTURES.md §5):
+
+* Swiss SUPPLIER query names ``supplier_name``, which does not exist
+  (``social_reason`` in database/models.py:42) → fails, returns None
+  (swiss_invoice_extractor.py:171-182);
+* the LLM COMPANY load names ``erp_code``/``name`` — the columns are
+  ``company_erp_code``/``company_name`` (models.py:20-24) → fails
+  (llm_enhanced_extractor.py:72-85), so ``find_company`` falls through
+  to its always-truthy default;
+* Swiss COMPANY (``company_erp_code`` — exists, works,
+  swiss_invoice_extractor.py:130-142) therefore NEVER wins the falsy
+  coalesce: the LLM slot above it is always truthy.
+
+Net lattice outcome: Swiss dimension lookups contribute nothing, so the
+kernel models them as None; our engine instead passes the dims as
+explicit parameters (the relational broadcast form), which is what a
+fixed deployment would see.
 """
 
 from __future__ import annotations
 
+import json
 from datetime import date
 from decimal import Decimal
 
@@ -35,6 +48,12 @@ from ocr_spark.schemas import FIELD_SPAN_ORDER
 
 DEFAULT_AS_OF = date(2025, 8, 19)  # pipeline as_of_date (FIXTURES.md §5)
 IMAGE_MARKER = b"FAKEIMG:"
+
+# real-codec seam for raster payloads (shared with operators/multimodal):
+# a backend `module:function` (bytes → feature dict incl. ocr_text) set as
+# a Spark job property or env var takes over for non-FAKEIMG payloads.
+IMAGE_BACKEND_PROP = "ocr_spark.image_backend"
+IMAGE_BACKEND_ENV = "OCR_SPARK_IMAGE_BACKEND"
 
 FIELDS_COLUMNS = [
     "doc_id", "kind", "media_ref", "offset", "norm_text",
@@ -59,10 +78,14 @@ def resolve_content(kind: str, text: str | None, payload: bytes | None) -> str:
     if kind == "image":
         # deterministic stub: real raster decode + OCR needs cv2/tesseract,
         # absent here; synthetic payloads carry a marker with the "OCR" text.
+        # A registered real backend (seam above) handles anything else.
         if payload:
             payload = bytes(payload)
             if payload.startswith(IMAGE_MARKER):
                 return payload[len(IMAGE_MARKER):].decode("utf-8", errors="replace")
+            backend = pdfdoc.resolve_backend(IMAGE_BACKEND_PROP, IMAGE_BACKEND_ENV)
+            if backend is not None:
+                return str(backend(payload).get("ocr_text") or "")
         return ""
     return text or ""
 
@@ -158,6 +181,15 @@ def fields_batch(
     rows = []
     for i in range(len(base)):
         lr, sr, br = l.iloc[i], s.iloc[i], b.iloc[i]
+        # X13 items (basic family, data_extractor.py:304-336) → one
+        # deterministic JSON blob (AR3 shape: compact separators, insertion
+        # key order, shortest-round-trip floats); None when no items so no
+        # field:line_items span is emitted for item-less spans.
+        items = br["line_items"]
+        items_json = (
+            json.dumps(items, ensure_ascii=False, separators=(",", ":"))
+            if items else None
+        )
         # invoice_service.py:249-263 — LLM number always present (md5 fallback)
         number = lr["invoice_number"] or sr["invoice_number"] or "INV-DEFAULT"
         # :266-277 — LLM date always present (as_of fallback)
@@ -193,6 +225,7 @@ def fields_batch(
                 "company_erp_code": company,
                 "email": lr["email"],
                 "phone": lr["phone"],
+                "line_items": items_json,
                 "confidence": float(br["confidence"]),
             }
         )

@@ -18,17 +18,52 @@ SPDF payload (utf-8 bytes)::
     ...
 
 Runs may appear in any order; parsing must be order-insensitive.  A real
-PDF backend (pdfminer.six) can be dropped in behind ``parse_payload`` —
-the import is attempted lazily and raises ``NotImplementedError`` with a
-clear message for non-SPDF payloads when the library is absent.
+PDF backend (pdfminer.six) drops in behind :func:`parse_pages` WITHOUT
+any pipeline change: non-SPDF payloads dispatch to a pluggable backend
+``module:function`` resolved (in the worker, where decoding happens)
+from the Spark job's local property ``ocr_spark.pdf_backend`` — set via
+:func:`set_pdf_backend`, propagated per-job to every task by Spark — or
+the ``OCR_SPARK_PDF_BACKEND`` env var; absent both, a clear
+``NotImplementedError``.  The seam is proven by tests/test_codec_seam.py
+(a fake "real" backend injected end-to-end through the full pipeline).
 """
 
 from __future__ import annotations
 
-from typing import Iterable
+import importlib
+import os
+from typing import Callable, Iterable
 
 MAGIC = b"SPDF1"
 LINE_Y_TOLERANCE = 2.0  # runs within this y-distance share a line
+
+BACKEND_PROP = "ocr_spark.pdf_backend"
+BACKEND_ENV = "OCR_SPARK_PDF_BACKEND"
+
+
+def set_pdf_backend(spark, spec: str | None) -> None:
+    """Driver-side: route non-SPDF payloads of subsequent jobs to
+    ``module:function`` (bytes → [(page_no, text)]); None clears it."""
+    spark.sparkContext.setLocalProperty(BACKEND_PROP, spec)
+
+
+def resolve_backend(prop: str, env: str) -> Callable | None:
+    """Worker-side backend lookup: the job's local property (visible via
+    TaskContext inside tasks) wins over the environment variable."""
+    spec = None
+    try:  # inside a task
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            spec = ctx.getLocalProperty(prop)
+    except Exception:
+        pass
+    spec = spec or os.environ.get(env)
+    if not spec:
+        return None
+    mod, _, fn = spec.partition(":")
+    return getattr(importlib.import_module(mod), fn)
 
 
 def _escape(text: str) -> str:
@@ -57,9 +92,12 @@ def parse_pages(payload: bytes) -> list[tuple[int, str]]:
     lines joined by newlines — the pdfminer convention.
     """
     if not payload or not payload.startswith(MAGIC):
+        backend = resolve_backend(BACKEND_PROP, BACKEND_ENV)
+        if backend is not None:
+            return [(int(p), str(t)) for p, t in backend(payload)]
         raise NotImplementedError(
-            "non-SPDF payload: real-PDF parsing requires pdfminer.six, "
-            "which is not available in this environment"
+            "non-SPDF payload: register a real-PDF backend (pdfminer.six) "
+            f"via {BACKEND_PROP} / ${BACKEND_ENV}"
         )
     pages: dict[int, list[tuple[float, float, str]]] = {}
     current = 0

@@ -367,7 +367,12 @@ def assemble_spans_table(span_rows: DataFrame) -> DataFrame:
 
 
 def invoices_from_fields(fields_rows: DataFrame) -> DataFrame:
-    """FIELDS rows → flat typed invoices table (one row per input span).
+    """FIELDS rows → flat typed invoices table (one row per input span),
+    carrying the full InvoiceDTO surface (src/api/invoice_models.py:53-75):
+    the constant status block DRAFT/not-completed/draft
+    (invoice_service.py:52-54), empty state_validations (:82),
+    document_urls = [doc_id] (:84 — filename analogue), and the X13
+    line-items JSON blob.
 
     Deterministic ids replace the reference's uuid4
     (src/services/invoice_service.py:34 → sha2, FIXTURES.md §5).
@@ -386,19 +391,51 @@ def invoices_from_fields(fields_rows: DataFrame) -> DataFrame:
         F.col("total_ttc").cast(T.DecimalType(10, 2)).alias("including_taxes"),
         F.col("amount_due").cast(T.DecimalType(10, 2)).alias("amount_due"),
         "confidence",
+        F.lit("DRAFT").alias("payment_state"),
+        F.lit(False).alias("completed"),
+        F.lit(True).alias("draft"),
+        F.array().cast(T.ArrayType(T.StringType())).alias("state_validations"),
+        F.array(F.col("doc_id")).alias("document_urls"),
+        "line_items",
+    )
+
+
+def invoice_goals_from_fields(fields_rows: DataFrame) -> DataFrame:
+    """FIELDS rows → InvoiceGoal rows (invoice_service.py:364-389): one
+    goal per invoice whose TTC is truthy (the 0.00 lattice default creates
+    none — the reference's `if amount:` gate), amount = including_taxes.
+    Goal ids determinized like invoice ids (uuid4 → sha2)."""
+    ttc = F.col("total_ttc").cast(T.DecimalType(10, 2))
+    inv_id = F.sha2(
+        F.concat_ws("|", "doc_id", F.col("offset").cast("string")), 256
+    )
+    return (
+        fields_rows.filter(ttc.isNotNull() & (ttc != 0))
+        .select(
+            F.sha2(F.concat(inv_id, F.lit(":goal")), 256).alias("goal_id"),
+            inv_id.alias("invoice_id"),
+            ttc.alias("amount"),
+        )
     )
 
 
 class PipelineFrames:
-    """Shared-FIELDS pipeline outputs: ONE kernel execution feeds both
-    tables.  ``fields`` is persisted (memory, spill to disk) so whichever
-    output materializes first computes the kernel and the other reads the
-    cache; call :meth:`unpersist` when both are written."""
+    """Shared-FIELDS pipeline outputs: ONE kernel execution feeds every
+    table.  ``fields`` is persisted (memory, spill to disk) so whichever
+    output materializes first computes the kernel and the others read the
+    cache; call :meth:`unpersist` when the outputs are written."""
 
-    def __init__(self, fields: DataFrame, extracted_spans: DataFrame, invoices: DataFrame):
+    def __init__(
+        self,
+        fields: DataFrame,
+        extracted_spans: DataFrame,
+        invoices: DataFrame,
+        invoice_goals: DataFrame,
+    ):
         self.fields = fields
         self.extracted_spans = extracted_spans
         self.invoices = invoices
+        self.invoice_goals = invoice_goals
 
     def unpersist(self) -> None:
         self.fields.unpersist()
@@ -448,7 +485,9 @@ def build_pipeline(
     spans = assemble_spans_table(
         fields.mapInPandas(_spans_map, schema=SPAN_ROWS_SCHEMA)
     )
-    return PipelineFrames(fields, spans, invoices_from_fields(fields))
+    return PipelineFrames(
+        fields, spans, invoices_from_fields(fields), invoice_goals_from_fields(fields)
+    )
 
 
 def run_pipeline(

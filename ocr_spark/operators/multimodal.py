@@ -18,7 +18,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ocr_spark.kernel.assemble import IMAGE_MARKER
+from ocr_spark.kernel.assemble import IMAGE_BACKEND_ENV, IMAGE_BACKEND_PROP, IMAGE_MARKER
+from ocr_spark.kernel.pdfdoc import resolve_backend
+
+
+def set_image_backend(spark, spec: str | None) -> None:
+    """Driver-side: route non-FAKEIMG payloads of subsequent jobs to a
+    real decoder ``module:function`` (bytes → feature dict); None clears."""
+    spark.sparkContext.setLocalProperty(IMAGE_BACKEND_PROP, spec)
 
 MEDIA_FEATURES = T.StructType(
     [
@@ -34,7 +41,9 @@ MEDIA_FEATURES = T.StructType(
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decode. A real backend (cv2/PIL) drops in here."""
+    """Deterministic fake decode.  A real backend (cv2/PIL) drops in via
+    the ``ocr_spark.image_backend`` job property / env var — same seam as
+    pdfdoc (proven in tests/test_codec_seam.py), no operator change."""
     if payload.startswith(IMAGE_MARKER):
         body = payload[len(IMAGE_MARKER):]
         digest = hashlib.md5(body).hexdigest()
@@ -45,8 +54,12 @@ def _decode_stub(payload: bytes) -> dict:
             "phash": digest[:16],
             "ocr_text": body.decode("utf-8", errors="replace"),
         }
+    backend = resolve_backend(IMAGE_BACKEND_PROP, IMAGE_BACKEND_ENV)
+    if backend is not None:
+        return dict(backend(payload))
     raise NotImplementedError(
-        "real image decode requires cv2/PIL, not available in this container"
+        "real image decode requires cv2/PIL: register a backend via "
+        f"{IMAGE_BACKEND_PROP} / ${IMAGE_BACKEND_ENV}"
     )
 
 

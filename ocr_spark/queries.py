@@ -1338,6 +1338,15 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+_PIPELINE_GOLDEN = "/root/repo/tests/fixtures/extraction_pipeline_golden.parquet"
+
+# The kernel is Python, so no SQL can recompute the pipeline — instead the
+# output is PINNED: tools/gen_pipeline_golden.py writes the expected
+# invoices table to a committed parquet and DuckDB reads it back; the
+# driver's hash compare then catches ANY drift in kernel/pipeline output.
+SQL_EXTRACTION_PIPELINE = f"SELECT * FROM '{_PIPELINE_GOLDEN}'"
+
+
 def q_extraction_pipeline(spark, sf_dir):
     """Flagship: full span pipeline over synthesized interleaved docs."""
     from ocr_spark.corpus import COMPANIES, SUPPLIERS
@@ -1446,7 +1455,7 @@ CATALOG: dict[str, tuple] = {
     "simhash_near_dups": (q_simhash_near_dups, None),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
-    "extraction_pipeline": (q_extraction_pipeline, None),
+    "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
     "media_features": (q_media_features, None),
     "media_resize": (q_media_resize, None),
     "media_frame_sample": (q_media_frame_sample, None),

@@ -84,6 +84,8 @@ FIELDS = T.StructType(
 
 # Ordered list of FIELDS members that become `field:<name>` spans
 # (FIXTURES.md §4); norm_text/confidence are carried differently.
+# `line_items` is the X13 family (data_extractor.py:304-336) emitted as a
+# deterministic JSON blob span (AR3 shape) — omitted for item-less spans.
 FIELD_SPAN_ORDER = [
     "invoice_number",
     "invoice_date",
@@ -99,11 +101,17 @@ FIELD_SPAN_ORDER = [
     "company_erp_code",
     "email",
     "phone",
+    "line_items",
 ]
 
 # Flat invoices output table, mirroring the reference's InvoiceDTO
 # (src/api/invoice_models.py:53-75) with money as DecimalType(10,2)
-# (src/database/models.py:93-95) and deterministic ids.
+# (src/database/models.py:93-95) and deterministic ids.  The DTO's
+# constant status block (invoice_service.py:52-54), empty
+# state_validations (:82), and document_urls=[filename] (:84 — the
+# pipeline's document identity is doc_id) are carried verbatim;
+# line_items rides as the X13 JSON blob (the reference keeps items in
+# InvoiceData but its DTO drops them — here they stay queryable).
 INVOICES = T.StructType(
     [
         T.StructField("invoice_id", T.StringType(), False),  # sha2(doc_id)
@@ -119,6 +127,23 @@ INVOICES = T.StructType(
         T.StructField("including_taxes", T.DecimalType(10, 2), True),
         T.StructField("amount_due", T.DecimalType(10, 2), True),
         T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("payment_state", T.StringType(), False),  # 'DRAFT'
+        T.StructField("completed", T.BooleanType(), False),
+        T.StructField("draft", T.BooleanType(), False),
+        T.StructField("state_validations", T.ArrayType(T.StringType()), False),
+        T.StructField("document_urls", T.ArrayType(T.StringType()), False),
+        T.StructField("line_items", T.StringType(), True),  # X13 JSON blob
+    ]
+)
+
+# InvoiceGoal DTO rows (src/api/invoice_models.py:38-50 /
+# invoice_service.py:364-389): one goal per invoice with a truthy TTC
+# (amount = including_taxes; a 0.00 lattice default creates NO goal).
+INVOICE_GOALS = T.StructType(
+    [
+        T.StructField("goal_id", T.StringType(), False),  # sha2(invoice_id:goal)
+        T.StructField("invoice_id", T.StringType(), False),
+        T.StructField("amount", T.DecimalType(10, 2), False),
     ]
 )
 

@@ -85,8 +85,16 @@ def checkpointed_write(
     bucketed.write.partitionBy("bucket", "epoch").mode("append").parquet(_data_dir(out_dir))
 
     # metrics from the files actually committed this epoch (read-back keeps
-    # the manifest honest about what is on disk)
-    written = spark.read.parquet(_data_dir(out_dir)).filter(F.col("epoch") == epoch)
+    # the manifest honest about what is on disk).  The read targets ONLY
+    # this epoch's partition dirs via glob: listing cost is one readdir per
+    # bucket plus this epoch's files — a full unpruned read of <out>/data
+    # would LIST every epoch ever written, growing unboundedly on a
+    # long-lived output (VERDICT r01 #6).
+    epoch_glob = os.path.join(_data_dir(out_dir), "bucket=*", f"epoch={epoch}")
+    try:
+        written = spark.read.option("basePath", _data_dir(out_dir)).parquet(epoch_glob)
+    except Exception:  # no bucket matched (everything already manifested)
+        return {"epoch": epoch, "buckets_written": 0, "buckets_skipped": skipped, "rows": 0}
     lineage_cols = lineage_cols or [c for c in df.columns if c != "doc_id"]
     lineage_expr = F.xxhash64("doc_id", *[F.to_json(F.struct(c)) for c in lineage_cols])
     manifest = (

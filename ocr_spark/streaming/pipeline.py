@@ -70,6 +70,7 @@ def run_stream(
     num_partitions: int = 8,
     n_buckets: int = 8,
     available_now: bool = True,
+    snapshot_prefix: str | None = None,
 ):
     """Drain the documents backlog into the manifest-checkpointed sink.
 
@@ -77,7 +78,21 @@ def run_stream(
     extracted_spans docs and hands them to checkpointed_write keyed by
     (epoch=batch id) — a replayed micro-batch (post-crash) anti-joins its
     already-manifested buckets, so the sink is idempotent end-to-end.
+
+    ``snapshot_prefix`` namespaces the manifest snapshot keys per STREAM:
+    batch ids restart at 0 for any fresh checkpoint dir, so two streams
+    sharing an out_dir would otherwise collide on ``stream-batch-0`` and
+    the anti-join would silently drop already-manifested buckets (ADVICE
+    r01).  Default = a hash of the checkpoint dir — stable across
+    restarts of the SAME stream (replay dedup keeps working), distinct
+    for any new stream.
     """
+    if snapshot_prefix is None:
+        import hashlib as _hashlib
+        import os as _os
+
+        digest = _hashlib.md5(_os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+        snapshot_prefix = f"stream-{digest}"
     span_rows = extracted_span_rows(
         stream_documents(spark, docs_dir), media,
         companies=companies, suppliers=suppliers, num_partitions=num_partitions,
@@ -90,7 +105,7 @@ def run_stream(
             extracted,
             out_dir,
             n_buckets=n_buckets,
-            input_snapshot=f"stream-batch-{batch_id}",
+            input_snapshot=f"{snapshot_prefix}-batch-{batch_id}",
         )
 
     writer = span_rows.writeStream.foreachBatch(_sink).option(

@@ -150,7 +150,7 @@ ARROW_MEDIA = pa.schema([pa.field("media_ref", pa.string(), nullable=False),
                          pa.field("payload", pa.binary())])
 
 
-def write_synth(out_dir: str, n_docs: int, docs_per_file: int = 2000) -> str:
+def write_synth(out_dir: str, n_docs: int, docs_per_file: int = 2000, start: int = 0) -> str:
     """Write documents/ and media/ parquet datasets; returns out_dir.
 
     Multiple row-group-sized files so Spark gets real input splits.
@@ -159,9 +159,9 @@ def write_synth(out_dir: str, n_docs: int, docs_per_file: int = 2000) -> str:
     media_dir = os.path.join(out_dir, "media")
     os.makedirs(docs_dir, exist_ok=True)
     os.makedirs(media_dir, exist_ok=True)
-    for part, start in enumerate(range(0, n_docs, docs_per_file)):
-        n = min(docs_per_file, n_docs - start)
-        docs, media = synth_frames(n, start=start)
+    for part, off in enumerate(range(0, n_docs, docs_per_file)):
+        n = min(docs_per_file, n_docs - off)
+        docs, media = synth_frames(n, start=start + off)
         pq.write_table(
             pa.Table.from_pandas(docs, schema=ARROW_DOCUMENTS, preserve_index=False),
             os.path.join(docs_dir, f"part-{part:05d}.parquet"),

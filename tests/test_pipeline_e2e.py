@@ -90,6 +90,49 @@ def test_paged_path_span_equality(spark, synth_dfs):
         assert got[doc_id] == exp, f"paged-path span mismatch for {doc_id}"
 
 
+def test_invoice_goals_and_line_items(spark, synth_dfs):
+    """InvoiceDTO completeness (VERDICT r01 #3-missing): goals exist
+    exactly for truthy-TTC invoices with amount = including_taxes
+    (invoice_service.py:364-389); X13 line items ride as a JSON span and
+    an invoices column."""
+    import json as _json
+
+    from ocr_spark.operators.extract import build_pipeline
+
+    docs, media = synth_dfs
+    frames = build_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS, num_partitions=8
+    )
+    try:
+        inv = frames.invoices.toPandas()
+        goals = frames.invoice_goals.toPandas()
+        truthy = inv[inv["including_taxes"].astype(float) != 0.0]
+        assert len(goals) == len(truthy)
+        assert len(goals) > 0, "no truthy-TTC invoice in synth corpus — vacuous"
+        merged = goals.merge(truthy, on="invoice_id")
+        assert (merged["amount"] == merged["including_taxes"]).all()
+        assert goals["goal_id"].nunique() == len(goals)
+        # DTO constants + document_urls
+        assert (inv["payment_state"] == "DRAFT").all()
+        assert (~inv["completed"]).all() and inv["draft"].all()
+        assert all(urls == [d] for urls, d in zip(inv["document_urls"], inv["doc_id"]))
+        # line_items JSON parses and matches the field:line_items spans
+        with_items = inv[inv["line_items"].notna()]
+        assert len(with_items) > 0, "no line items extracted — vacuous"
+        for blob in with_items["line_items"]:
+            items = _json.loads(blob)
+            assert items and all("amount_excl_vat" in i for i in items)
+        span_blobs = [
+            s["text"]
+            for r in frames.extracted_spans.collect()
+            for s in r["spans"]
+            if s["kind"] == "field:line_items"
+        ]
+        assert sorted(span_blobs) == sorted(with_items["line_items"])
+    finally:
+        frames.unpersist()
+
+
 def test_single_kernel_execution_for_both_outputs(spark, synth_dfs):
     """r02 fix (VERDICT r01 #3): writing BOTH tables must run the Python
     extraction kernel ONCE.  After the spans output materializes, the

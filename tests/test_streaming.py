@@ -52,6 +52,33 @@ def test_stream_matches_batch_goldens(spark, tmp_path):
         assert got[doc_id] == exp, f"stream span mismatch for {doc_id}"
 
 
+def test_two_streams_same_outdir_no_collision(spark, tmp_path):
+    """ADVICE r01 regression: batch ids restart at 0 for a fresh checkpoint
+    dir, so a second stream into the same out_dir used to collide on the
+    'stream-batch-0' snapshot key and silently drop its buckets.  The
+    per-stream snapshot prefix (hash of checkpoint dir) must keep both
+    streams' documents committed."""
+    out = str(tmp_path / "out")
+    totals = 0
+    for gen in range(2):
+        docs_dir = str(tmp_path / f"docs_{gen}")
+        n = 10
+        # disjoint doc ranges per stream
+        write_synth(docs_dir, n, docs_per_file=5, start=gen * 100)
+        _, media_pd = synth_frames(n, start=gen * 100)
+        media = spark.createDataFrame(
+            [(r["media_ref"], bytearray(r["payload"])) for _, r in media_pd.iterrows()],
+            schema=MEDIA,
+        )
+        run_stream(
+            spark, docs_dir + "/documents", media, out,
+            str(tmp_path / f"ckpt_{gen}"),
+            companies=COMPANIES, suppliers=SUPPLIERS, available_now=True,
+        )
+        totals += n
+    assert read_committed(spark, out).count() == totals
+
+
 def test_stream_restart_is_idempotent(spark, tmp_path):
     """Second availableNow run over the same checkpoint is a no-op."""
     docs_dir = str(tmp_path / "docs_in")

@@ -1,0 +1,47 @@
+"""Golden parquet for the flagship extraction_pipeline catalog query.
+
+Round 1 left `extraction_pipeline` rows-only (the kernel is Python, so no
+DuckDB twin can recompute it).  Instead the OUTPUT is pinned: this tool
+runs the exact catalog query (q_extraction_pipeline — 100 synth docs →
+invoices table) and writes the result to a committed golden parquet; the
+oracle SQL is then simply `SELECT * FROM '<golden>'`, which DuckDB reads
+and the driver hash-compares against the live Spark run.  Any kernel or
+pipeline change that alters the output shows up as a CORRECTNESS
+mismatch until this golden is regenerated (like tools/gen_goldens.py).
+
+Usage: python tools/gen_pipeline_golden.py
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+GOLDEN = REPO / "tests" / "fixtures" / "extraction_pipeline_golden.parquet"
+
+
+def main() -> None:
+    from ocr_spark.queries import q_extraction_pipeline
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("gen_pipeline_golden", master="local[4]", shuffle_partitions=4)
+    try:
+        out = q_extraction_pipeline(spark, sf_dir="unused")
+        with tempfile.TemporaryDirectory() as tmp:
+            # single file, sorted — byte-stable regeneration
+            out.orderBy("invoice_id").coalesce(1).write.mode("overwrite").parquet(tmp + "/g")
+            part = next(Path(tmp, "g").glob("part-*.parquet"))
+            GOLDEN.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copyfile(part, GOLDEN)
+        print(f"wrote {GOLDEN} ({out.count()} rows)")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
