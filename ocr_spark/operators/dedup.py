@@ -327,36 +327,54 @@ def near_dup_pairs(
     k: int = DEFAULT_SHINGLE,
     est_prefilter: float = 0.35,
     eager_cleanup: bool = True,
+    verify_broadcast_max_docs: int = 100_000,
 ) -> DataFrame:
     """MinHash-LSH candidates, signature-agreement prefiltered, verified by
     exact Jaccard.
 
-    The shingle frame is persisted (memory, spill to disk): it feeds the
-    signature/banding pass AND both sides of the verify join — without
-    the persist each reference re-runs scan+normalize+shingle (three full
-    passes measured). The persist is the same disk volume a shuffle of
-    the shingles would cost, amortized across all three consumers.
+    ``est_prefilter``: before the exact-Jaccard verify, each candidate's
+    Jaccard is ESTIMATED from minhash agreement (matches / n_seeds) and
+    pairs below the cutoff are dropped (251k → 110k band-collision
+    candidates on the templated sf0.1 corpus).  The estimate is
+    binomial(n_seeds, j): at j = threshold = 0.5 with 12 seeds and cutoff
+    0.35 (≥5 matches) ~19 % of exactly-borderline pairs are dropped,
+    <0.1 % at j ≥ 0.8 — the usual LSH recall trade, mirrored EXACTLY in
+    the oracle SQL twin via :func:`min_sig_matches`.  0.0 disables.
 
-    ``est_prefilter``: before the (expensive) exact-Jaccard verify, each
-    candidate's Jaccard is ESTIMATED from minhash agreement (matches /
-    n_seeds) and pairs below the cutoff are dropped — on a templated
-    corpus this cut ~98 % of the 251k band-collision candidates feeding
-    the array_intersect verify.  The estimate is binomial(n_seeds, j): at
-    j = threshold = 0.5 with 12 seeds and cutoff 0.35 (≥5 matches) ~19 %
-    of exactly-borderline pairs are dropped, <0.1 % at j ≥ 0.8 — the
-    usual LSH recall trade, mirrored EXACTLY in the oracle SQL twin via
-    :func:`min_sig_matches`.  Set to 0.0 to disable.
+    Verify strategy (the round-1 plan shuffled the 5 KB shingle arrays
+    through BOTH candidate repartitions — ~46 % of the headline bench):
 
-    ``eager_cleanup``: materialize the result (localCheckpoint) and
-    unpersist the shingle frame before returning — repeated invocations
-    then never accumulate cached blocks (checkpoint blocks are released
-    by the ContextCleaner when the returned frame is garbage-collected).
-    Pass False to keep the plan lazy; the shingle persist then lives
-    until the session drops it.
+    * corpora ≤ ``verify_broadcast_max_docs``: the shingle table is
+      BROADCAST to both sides of the verify join — no array ever rides a
+      shuffle, and no persist is needed (the shingle plan re-runs inside
+      each cheap broadcast build instead of paying a 3× slower columnar
+      cache materialization — both measured);
+    * larger corpora: shuffle path with the shingle frame persisted
+      (memory, spill to disk) since it feeds the signature pass and both
+      verify joins — at 10^12 docs the arrays cannot broadcast, and the
+      keyed join with explicit partition counts is the co-located form.
+
+    Either way the candidate frame gets an EXPLICIT repartition before
+    the verify: candidate rows are byte-small but each costs an
+    array_intersect, so AQE's byte-based coalescing would serialize the
+    verify onto ~3 tasks (measured, both strategies).
+
+    ``eager_cleanup`` (shuffle path only): materialize the result
+    (localCheckpoint) and unpersist the shingle frame before returning —
+    repeated invocations never accumulate cached blocks (checkpoint
+    blocks are released by the ContextCleaner when the returned frame is
+    garbage-collected).  Pass False to keep the plan lazy; the persist
+    then lives until the session drops it.
     """
     from pyspark import StorageLevel
 
-    sh = with_shingles(documents, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    broadcast_verify = (
+        verify_broadcast_max_docs > 0
+        and documents.count() <= verify_broadcast_max_docs
+    )
+    sh = with_shingles(documents, text_col, k)
+    if not broadcast_verify:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = with_minhash(sh).select("doc_id", "sig")
     # the signature (12 short hex strings) rides through the band explode so
     # the prefilter needs no extra join against the signature frame
@@ -378,23 +396,22 @@ def near_dup_pairs(
     candidates = collisions.select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     ).distinct()
-    # explicit partition counts on the verify joins: candidate rows are
-    # byte-small but each costs an array_intersect over shingle arrays, so
-    # AQE's byte-based coalescing would run the verify on ~3 tasks
-    # (measured); user-specified repartitions are exempt from coalescing
     n_parts = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    candidates = candidates.repartition(n_parts, "doc_a")
+    sh_a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
+    sh_b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+    if broadcast_verify:
+        joined = candidates.join(F.broadcast(sh_a), on="doc_a").join(
+            F.broadcast(sh_b), on="doc_b"
+        )
+    else:
+        joined = (
+            candidates.join(sh_a, on="doc_a")
+            .repartition(n_parts, "doc_b")
+            .join(sh_b, on="doc_b")
+        )
     out = (
-        candidates.repartition(n_parts, "doc_a")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
-            on="doc_a",
-        )
-        .repartition(n_parts, "doc_b")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
-            on="doc_b",
-        )
-        .withColumn(
+        joined.withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
@@ -402,7 +419,7 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    if eager_cleanup:
+    if eager_cleanup and not broadcast_verify:
         out = out.localCheckpoint(eager=True)
         sh.unpersist()
     return out

@@ -349,6 +349,50 @@ def assemble_extracted_spans(fields_rows: DataFrame) -> DataFrame:
     return assemble_spans_table(span_rows)
 
 
+def span_rows_from_fields(fields_rows: DataFrame) -> DataFrame:
+    """FIELDS rows → output span rows in PURE JVM (no Python stage).
+
+    Exact twin of the kernel's ``spans_from_fields`` (tested equal via the
+    e2e span-equality suite): per FIELDS row, one 'text' span (seq 0,
+    norm_text, media_ref carried) then one ``field:<name>`` span per
+    non-null field in FIELD_SPAN_ORDER (seq dense from 1, media_ref "").
+    Field values are already strings in the FIELDS schema, so no cast can
+    diverge from the kernel's str().  Keeping this JVM-side means the
+    spans output costs no second Arrow round-trip over the cached FIELDS
+    frame.  The generator lives in its own projection — posexplode beside
+    struct-field access strips struct names during the Generate rewrite
+    (measured round 1)."""
+    text_struct = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("norm_text").alias("text"),
+        F.coalesce(F.col("media_ref"), F.lit("")).alias("media_ref"),
+    )
+    field_structs = [
+        F.struct(
+            F.lit(f"field:{name}").alias("kind"),
+            F.col(name).alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+        for name in FIELD_SPAN_ORDER
+    ]
+    arr = F.concat(
+        F.array(text_struct),
+        F.filter(F.array(*field_structs), lambda s: s["text"].isNotNull()),
+    )
+    staged = fields_rows.select("doc_id", "offset", arr.alias("_arr"))
+    exploded = staged.select(
+        "doc_id", "offset", F.posexplode("_arr").alias("seq", "s")
+    )
+    return exploded.select(
+        "doc_id",
+        "offset",
+        "seq",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def assemble_spans_table(span_rows: DataFrame) -> DataFrame:
     """Output span rows → extracted_spans(doc_id, spans[]), JVM-native."""
     ordered = F.array_sort(
@@ -482,9 +526,7 @@ def build_pipeline(
     from pyspark import StorageLevel
 
     fields = fields.persist(StorageLevel.MEMORY_AND_DISK)
-    spans = assemble_spans_table(
-        fields.mapInPandas(_spans_map, schema=SPAN_ROWS_SCHEMA)
-    )
+    spans = assemble_spans_table(span_rows_from_fields(fields))
     return PipelineFrames(
         fields, spans, invoices_from_fields(fields), invoice_goals_from_fields(fields)
     )
