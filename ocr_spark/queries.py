@@ -1321,8 +1321,57 @@ FROM marked GROUP BY user_id
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    """SimHash near-dup pairs (pigeonhole segment blocking, max_hamming=8).
+    Bounded subset so the DuckDB twin (brute-force xor/bit_count over a
+    full SQL re-implementation of simhash64) stays cheap — the blocking
+    guarantees EXACT equality with the brute pairs, so this oracle both
+    pins the vectorized UDF cross-engine and proves the recall property
+    the round-1 scheme silently lacked."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return dedup.simhash_near_dups(docs, max_hamming=8)
+
+
+def _sql_simhash_hashes(bound: int) -> str:
+    """DuckDB re-implementation of dedup.simhash64_py: md5-per-token 64-bit
+    hash (two 32-bit hex halves via BIGINT, combined in HUGEINT), ±1 bit
+    votes weighted by occurrence, sign → bit, two's-complement to signed."""
+    pows = ", ".join(str(1 << b) for b in range(64))
+    h32 = "CAST(CAST(('0x' || substr(md5(tok),{off},8)) AS BIGINT) AS HUGEINT)"
+    return f"""
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS HUGEINT[]) ELSE list_transform(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           tok -> {h32.format(off=1)} * 4294967296 + {h32.format(off=9)}
+         ) END AS hs
+  FROM documents WHERE doc_id < {bound}
+"""
+
+
+def _sql_simhash_near_dups(bound: int = 2000, max_hamming: int = 8) -> str:
+    pows = ", ".join(str(1 << b) for b in range(64))
+    return f"""
+WITH t AS ({_sql_simhash_hashes(bound)}
+), v AS (
+  SELECT doc_id, hs,
+         list_sum(list_transform(CAST([{pows}] AS HUGEINT[]), p ->
+           CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN p ELSE CAST(0 AS HUGEINT) END)) AS s
+  FROM t
+), hashes AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN 0
+              ELSE CAST(CASE WHEN s >= CAST('9223372036854775808' AS HUGEINT)
+                             THEN s - CAST('18446744073709551616' AS HUGEINT) ELSE s END AS BIGINT) END AS h
+  FROM v
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_NEAR_DUPS = _sql_simhash_near_dups()
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -1452,7 +1501,7 @@ CATALOG: dict[str, tuple] = {
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # rows-only (non-SQL-expressible / pipeline-backed)
-    "simhash_near_dups": (q_simhash_near_dups, None),
+    "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
