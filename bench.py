@@ -110,7 +110,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--n-docs", type=int, default=None, help="override synth corpus size")
-    ap.add_argument("--repeat", type=int, default=2, help="flagship runs; best-of timing")
+    ap.add_argument("--repeat", type=int, default=2, help="runs per query; best-of timing")
     args = ap.parse_args()
 
     from ocr_spark.queries import CATALOG
@@ -137,9 +137,15 @@ def main() -> None:
         if not args.flagship_only:
             for name in HEADLINE:
                 fn, _sql = CATALOG[name]
-                t0 = time.monotonic()
-                noop_write(fn(spark, args.sf_dir))
-                queries[name] = round(time.monotonic() - t0, 3)
+                # best-of-N like the flagship: run 1 pays broadcast/codegen
+                # warmup; steady state is the engine's number
+                best = float("inf")
+                for _ in range(max(1, args.repeat)):
+                    t0 = time.monotonic()
+                    noop_write(fn(spark, args.sf_dir))
+                    best = min(best, time.monotonic() - t0)
+                    spark.catalog.clearCache()
+                queries[name] = round(best, 3)
         total = round(sum(queries.values()), 3)
         print(
             json.dumps(

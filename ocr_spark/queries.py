@@ -1315,6 +1315,49 @@ FROM marked GROUP BY user_id
 """
 
 
+def q_sessionize_scalable(spark, sf_dir):
+    """Skew-safe sessionization (VERDICT r01 flagged the plain variant's
+    partitionBy(user_id) as a hot-user skew risk at 100×): two-phase
+    chunk-and-merge.  Phase 1 sessionizes WITHIN (user, time-chunk)
+    partitions — a hot user's events split across ceil(span/chunk)
+    bounded partitions; phase 2 merges session chains across chunk
+    boundaries with a per-user window over CHUNK SUMMARY rows (one row
+    per non-empty chunk, not per event — the skew is gone because the
+    window's partition size is bounded by the time range, not the event
+    count).  The oracle is the SAME SQL as plain sessionize — the driver
+    hash-compare is the equivalence proof."""
+    gap, chunk = 1800, 6 * 3600
+    ev = _t(spark, sf_dir, "events")
+    chunked = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.unix_timestamp("ts") / chunk).alias("chunk"),
+    )
+    w_local = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    gap_prev = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_local))
+    local = chunked.withColumn(
+        "new_s", F.when(gap_prev.isNull() | (gap_prev > gap), 1).otherwise(0)
+    )
+    per_chunk = local.groupBy("user_id", "chunk").agg(
+        F.sum("new_s").alias("starts"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    w_chunks = Window.partitionBy("user_id").orderBy("chunk")
+    merged = per_chunk.withColumn("prev_max", F.lag("max_ts").over(w_chunks)).withColumn(
+        "merge",
+        F.when(
+            F.col("prev_max").isNotNull()
+            & ((F.unix_timestamp("min_ts") - F.unix_timestamp("prev_max")) <= gap),
+            1,
+        ).otherwise(0),
+    )
+    return merged.groupBy("user_id").agg(
+        (F.sum("starts") - F.sum("merge")).cast("long").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Spark-only queries (no SQL twin → driver rows-only check)
 # --------------------------------------------------------------------------
@@ -1500,6 +1543,7 @@ CATALOG: dict[str, tuple] = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, None),

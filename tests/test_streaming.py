@@ -79,6 +79,56 @@ def test_two_streams_same_outdir_no_collision(spark, tmp_path):
     assert read_committed(spark, out).count() == totals
 
 
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization drained over time-ordered
+    files must equal the batch sessionize aggregate (same 30-min gap)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_spark.queries import q_sessionize
+    from ocr_spark.streaming.sessions import sessionize_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # time-ordered files → per-user in-order arrival across micro-batches
+    stream_dir = str(tmp_path / "events_stream")
+    ev = events.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    import pathlib
+
+    pathlib.Path(stream_dir).mkdir()
+    n_files = 5
+    for i in range(n_files):
+        chunk = ev.iloc[i * len(ev) // n_files : (i + 1) * len(ev) // n_files]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            f"{stream_dir}/part={i}"
+        )
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/part=*")
+    )
+    latest: dict[int, tuple[int, int]] = {}
+
+    def sink(batch_df, _batch_id):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["n_sessions"], r["n_events"])
+
+    q = (
+        sessionize_stream(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expected = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    assert latest == expected
+
+
 def test_stream_restart_is_idempotent(spark, tmp_path):
     """Second availableNow run over the same checkpoint is a no-op."""
     docs_dir = str(tmp_path / "docs_in")
