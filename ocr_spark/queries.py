@@ -1467,6 +1467,16 @@ def _synth_media(spark, n=100):
     )
 
 
+# Media ops are deterministic functions of the synthetic payloads, so
+# (like extraction_pipeline) their outputs are pinned to committed golden
+# parquets (tools/gen_media_goldens.py) that DuckDB reads back — binary
+# payloads travel hex-encoded so both engines canonicalize identically.
+_MEDIA_GOLDEN_DIR = "/root/repo/tests/fixtures"
+SQL_MEDIA_FEATURES = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_features_golden.parquet'"
+SQL_MEDIA_RESIZE = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_resize_golden.parquet'"
+SQL_MEDIA_FRAME_SAMPLE = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_frame_sample_golden.parquet'"
+
+
 def q_media_features(spark, sf_dir):
     from ocr_spark.operators.multimodal import media_features
 
@@ -1476,7 +1486,10 @@ def q_media_features(spark, sf_dir):
 def q_media_resize(spark, sf_dir):
     from ocr_spark.operators.multimodal import resize_images
 
-    return resize_images(_synth_media(spark), 224, 224)
+    out = resize_images(_synth_media(spark), 224, 224)
+    return out.select(
+        "media_ref", "width", "height", F.hex("payload").alias("payload_hex")
+    )
 
 
 def q_media_frame_sample(spark, sf_dir):
@@ -1496,7 +1509,8 @@ def q_media_frame_sample(spark, sf_dir):
         ],
         schema=MEDIA,
     )
-    return sample_frames(videos, every_k=2)
+    out = sample_frames(videos, every_k=2)
+    return out.select("media_ref", "frame_no", F.hex("payload").alias("payload_hex"))
 
 
 # --------------------------------------------------------------------------
@@ -1549,7 +1563,7 @@ CATALOG: dict[str, tuple] = {
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
-    "media_features": (q_media_features, None),
-    "media_resize": (q_media_resize, None),
-    "media_frame_sample": (q_media_frame_sample, None),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+    "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
 }
