@@ -144,6 +144,122 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(_map, schema=RESIZED)
 
 
+# ---------------------------------------------------------------------------
+# audio (stubbed codec, real Spark plumbing — same seam as image/pdf)
+# ---------------------------------------------------------------------------
+
+# deterministic fake audio container: FAKEAUD:<sample_rate>: + signed bytes
+AUDIO_MARKER = b"FAKEAUD:"
+AUDIO_BACKEND_PROP = "ocr_spark.audio_backend"
+AUDIO_BACKEND_ENV = "OCR_SPARK_AUDIO_BACKEND"
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+RESAMPLED = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def _audio_decode_stub(payload: bytes) -> tuple[int, "pd.Series"]:
+    """(sample_rate, samples as numpy int8).  A real backend
+    (librosa/ffmpeg) drops in via the audio seam; non-FAKEAUD payloads
+    dispatch there or raise at the decode boundary only."""
+    import numpy as np
+
+    if payload.startswith(AUDIO_MARKER):
+        body = payload[len(AUDIO_MARKER):]
+        sr_raw, _, samples = body.partition(b":")
+        return int(sr_raw), np.frombuffer(samples, dtype=np.int8)
+    backend = resolve_backend(AUDIO_BACKEND_PROP, AUDIO_BACKEND_ENV)
+    if backend is not None:
+        sr, samples = backend(payload)
+        return int(sr), np.asarray(samples, dtype=np.int8)
+    raise NotImplementedError(
+        "real audio decode requires librosa/ffmpeg: register a backend via "
+        f"{AUDIO_BACKEND_PROP} / ${AUDIO_BACKEND_ENV}"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """media(media_ref, payload) → (sample_rate, n_samples, duration, RMS
+    loudness); rows whose payload can't be decoded carry nulls instead of
+    failing the task.  Arrow-batched; the per-payload DSP is numpy."""
+    import numpy as np
+
+    def _map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_ref, payload in zip(batch["media_ref"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    sr, samples = _audio_decode_stub(payload)
+                    n = len(samples)
+                    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if n else 0.0
+                    rows.append(
+                        {
+                            "media_ref": media_ref,
+                            "n_bytes": len(payload),
+                            "sample_rate": sr,
+                            "n_samples": n,
+                            "duration_s": round(n / sr, 6) if sr else None,
+                            "rms": round(rms, 6),
+                        }
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        {
+                            "media_ref": media_ref, "n_bytes": len(payload),
+                            "sample_rate": None, "n_samples": None,
+                            "duration_s": None, "rms": None,
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in AUDIO_FEATURES.fields]
+            )
+
+    return media.mapInPandas(_map, schema=AUDIO_FEATURES)
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Deterministic decimation resample (every round(sr/target)-th sample
+    — a real backend does proper filtering; the Spark plumbing, schema and
+    batch shape are the contract). Undecodable rows carry null payloads."""
+
+    def _map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            out = {"media_ref": [], "sample_rate": [], "payload": []}
+            for media_ref, payload in zip(batch["media_ref"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    sr, samples = _audio_decode_stub(payload)
+                    step = max(1, round(sr / target_rate))
+                    kept = samples[::step]
+                    out["sample_rate"].append(target_rate)
+                    out["payload"].append(
+                        AUDIO_MARKER + str(target_rate).encode() + b":" + kept.tobytes()
+                    )
+                except NotImplementedError:
+                    out["sample_rate"].append(None)
+                    out["payload"].append(None)
+                out["media_ref"].append(media_ref)
+            yield pd.DataFrame(out, columns=["media_ref", "sample_rate", "payload"])
+
+    return media.mapInPandas(_map, schema=RESAMPLED)
+
+
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling: one output row per kept frame (frame 0, k,
     2k, …) — the explode-shaped op whose row count is data-dependent, so

@@ -1475,6 +1475,38 @@ _MEDIA_GOLDEN_DIR = "/root/repo/tests/fixtures"
 SQL_MEDIA_FEATURES = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_features_golden.parquet'"
 SQL_MEDIA_RESIZE = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_resize_golden.parquet'"
 SQL_MEDIA_FRAME_SAMPLE = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_frame_sample_golden.parquet'"
+SQL_AUDIO_FEATURES = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/audio_features_golden.parquet'"
+SQL_AUDIO_RESAMPLE = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/audio_resample_golden.parquet'"
+
+
+def _synth_audio(spark, n=60):
+    """Deterministic FAKEAUD clips: varying sample rates and md5-derived
+    int8 sample streams."""
+    import hashlib as _hl
+
+    from ocr_spark.operators.multimodal import AUDIO_MARKER
+    from ocr_spark.schemas import MEDIA
+
+    rows = []
+    for i in range(n):
+        sr = (8000, 16000, 44100)[i % 3]
+        seed = _hl.md5(f"audio:{i}".encode()).digest()
+        body = (seed * (50 + i % 7))[: 400 + 37 * (i % 11)]
+        rows.append((f"media://audio/{i}", bytearray(AUDIO_MARKER + str(sr).encode() + b":" + body)))
+    return spark.createDataFrame(rows, schema=MEDIA)
+
+
+def q_audio_features(spark, sf_dir):
+    from ocr_spark.operators.multimodal import audio_features
+
+    return audio_features(_synth_audio(spark))
+
+
+def q_audio_resample(spark, sf_dir):
+    from ocr_spark.operators.multimodal import resample_audio
+
+    out = resample_audio(_synth_audio(spark), 8000)
+    return out.select("media_ref", "sample_rate", F.hex("payload").alias("payload_hex"))
 
 
 def q_media_features(spark, sf_dir):
@@ -1566,4 +1598,6 @@ CATALOG: dict[str, tuple] = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
 }

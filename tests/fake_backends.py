@@ -11,6 +11,11 @@ def parse_pdf(payload: bytes) -> list[tuple[int, str]]:
     return [(1, f"REALPDF page1 {body[-12:]}"), (2, "REALPDF page2")]
 
 
+def decode_audio(payload: bytes):
+    """bytes → (sample_rate, samples), the librosa-shaped contract."""
+    return 22050, [1, -2, 3]
+
+
 def decode_image(payload: bytes) -> dict:
     """bytes → feature dict, the cv2/PIL-shaped contract."""
     return {

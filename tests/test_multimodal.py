@@ -52,3 +52,50 @@ def test_frame_sampling_deterministic(media):
     a = sorted(map(tuple, mm.sample_frames(media, every_k=3).collect()))
     b = sorted(map(tuple, mm.sample_frames(media, every_k=3).collect()))
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def audio(spark):
+    rows = [
+        ("aud-1", bytearray(mm.AUDIO_MARKER + b"8000:" + bytes(range(100)))),
+        ("aud-2", bytearray(mm.AUDIO_MARKER + b"16000:" + bytes(200))),
+        ("bad-aud", bytearray(b"RIFF not decodable here")),
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA)
+
+
+def test_audio_features_and_null_on_undecodable(audio):
+    out = {r["media_ref"]: r for r in mm.audio_features(audio).collect()}
+    assert out["aud-1"]["sample_rate"] == 8000
+    assert out["aud-1"]["n_samples"] == 100
+    assert out["aud-1"]["duration_s"] == round(100 / 8000, 6)
+    assert out["aud-1"]["rms"] > 0
+    assert out["aud-2"]["rms"] == 0.0  # silence
+    assert out["bad-aud"]["sample_rate"] is None and out["bad-aud"]["rms"] is None
+
+
+def test_audio_resample_decimates(audio):
+    out = {r["media_ref"]: r for r in mm.resample_audio(audio, 8000).collect()}
+    def body_of(ref):
+        return bytes(out[ref]["payload"])[len(mm.AUDIO_MARKER):].split(b":", 1)[1]
+
+    # 16000 -> 8000: every 2nd sample kept
+    assert len(body_of("aud-2")) == 100
+    # already at target rate: unchanged sample count
+    assert len(body_of("aud-1")) == 100
+    assert out["bad-aud"]["payload"] is None
+
+
+def test_audio_backend_seam(spark, audio):
+    """Same drop-in seam as pdf/image: a registered backend decodes
+    non-FAKEAUD payloads with no operator change."""
+    mm.resolve_backend  # seam shared with pdfdoc
+    spark.sparkContext.setLocalProperty(
+        mm.AUDIO_BACKEND_PROP, "tests.fake_backends:decode_audio"
+    )
+    try:
+        out = {r["media_ref"]: r for r in mm.audio_features(audio).collect()}
+        assert out["bad-aud"]["sample_rate"] == 22050
+        assert out["bad-aud"]["n_samples"] == 3
+    finally:
+        spark.sparkContext.setLocalProperty(mm.AUDIO_BACKEND_PROP, None)

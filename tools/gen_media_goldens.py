@@ -22,6 +22,8 @@ FIXTURES = REPO / "tests" / "fixtures"
 
 def main() -> None:
     from ocr_spark.queries import (
+        q_audio_features,
+        q_audio_resample,
         q_media_features,
         q_media_frame_sample,
         q_media_resize,
@@ -34,6 +36,8 @@ def main() -> None:
             ("media_features", q_media_features, ["media_ref"]),
             ("media_resize", q_media_resize, ["media_ref"]),
             ("media_frame_sample", q_media_frame_sample, ["media_ref", "frame_no"]),
+            ("audio_features", q_audio_features, ["media_ref"]),
+            ("audio_resample", q_audio_resample, ["media_ref"]),
         ]:
             out = fn(spark, sf_dir="unused")
             with tempfile.TemporaryDirectory() as tmp:
