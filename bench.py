@@ -158,6 +158,9 @@ def main() -> None:
                     "cpus": args.cpus,
                     "extraction_docs": n_docs,
                     "extraction_docs_per_sec": flagship["docs_per_sec"],
+                    # r02+: the flagship writes BOTH tables from one kernel
+                    # pass (r01 measured the spans output only)
+                    "extraction_outputs": "extracted_spans+invoices",
                 }
             )
         )
