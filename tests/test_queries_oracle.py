@@ -76,3 +76,35 @@ def test_rows_only_queries_run(spark, name):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("seed", [7, 99, 1234])
+def test_sessionize_scalable_equivalence_random(spark, tmp_path, seed):
+    """Beyond the testdata oracle: chunk-and-merge sessionization must
+    equal the plain per-user window on adversarial random event sets
+    (bursts straddling chunk boundaries, ties, single-event users)."""
+    import random
+
+    from datetime import datetime, timedelta
+
+    from ocr_spark.queries import q_sessionize, q_sessionize_scalable
+
+    rng = random.Random(seed)
+    base = datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(25):
+        t = base + timedelta(seconds=rng.randrange(0, 86400))
+        for _ in range(rng.randrange(1, 60)):
+            # mix sub-gap steps, exact-gap ties, and session breaks; some
+            # land exactly on 6h chunk boundaries
+            step = rng.choice([0, 1, 1799, 1800, 1801, 7200, 21600, 40000])
+            t = t + timedelta(seconds=step)
+            rows.append((user, t, eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    d = str(tmp_path / f"events_{seed}")
+    ev.write.parquet(d + "/events.parquet")
+    plain = {tuple(r) for r in q_sessionize(spark, d).collect()}
+    scalable = {tuple(r) for r in q_sessionize_scalable(spark, d).collect()}
+    assert plain == scalable
