@@ -50,6 +50,24 @@ def test_ivf_every_query_answered(spark, emb):
     assert all(r["count"] == 5 for r in per_q)
 
 
+def test_ivf_index_as_table_matches_inline(spark, emb, tmp_path):
+    """The materialized index (centroids + partitionBy(list_id) lists)
+    must return exactly the inline ivf_topk results, and the probe scan
+    must partition-prune to the probed list_ids."""
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, idx, n_lists=16)
+    queries = emb.filter(F.col("vec_id") < 10)
+    inline = sorted(map(tuple, similarity.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4).collect()))
+    indexed_df = similarity.ivf_topk_indexed(spark, idx, queries, k=5, nprobe=4)
+    indexed = sorted(map(tuple, indexed_df.collect()))
+    assert indexed == inline
+    # partition pruning reaches the lists scan
+    plan = indexed_df._sc._jvm.PythonSQLUtils.explainString(
+        indexed_df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split("PartitionFilters:")[1][:200], plan
+
+
 def test_lsh_recall_vs_brute(spark, emb):
     """Round-1 hole: single-band LSH returned >50% empty slots with no
     quality gate.  Multi-band + multiprobe must reach recall@5 ≥ 0.6 on
