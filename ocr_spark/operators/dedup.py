@@ -506,6 +506,12 @@ def simhash_near_dups(documents: DataFrame, text_col: str = "text", max_hamming:
     parameter; recall-vs-brute tested in tests/test_simhash.py)."""
     segments = _hamming_segments(max_hamming)
     with_h = documents.select("doc_id", simhash64(F.col(text_col)).alias("h"))
+    def seg_val(off: int, width: int, mask: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("h"), off)
+        if width >= 64:  # mask would overflow a long literal; AND is identity
+            return shifted
+        return shifted.bitwiseAND(F.lit(mask))
+
     segs = with_h.select(
         "doc_id",
         "h",
@@ -513,9 +519,9 @@ def simhash_near_dups(documents: DataFrame, text_col: str = "text", max_hamming:
             F.array(*[
                 F.struct(
                     F.lit(i).alias("seg"),
-                    F.shiftrightunsigned(F.col("h"), off).bitwiseAND(F.lit(mask)).alias("seg_val"),
+                    seg_val(off, width, mask).alias("seg_val"),
                 )
-                for i, (off, _width, mask) in enumerate(segments)
+                for i, (off, width, mask) in enumerate(segments)
             ])
         ).alias("s"),
     ).select("doc_id", "h", "s.seg", "s.seg_val")

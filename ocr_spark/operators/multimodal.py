@@ -182,7 +182,11 @@ def _audio_decode_stub(payload: bytes) -> tuple[int, "pd.Series"]:
     if payload.startswith(AUDIO_MARKER):
         body = payload[len(AUDIO_MARKER):]
         sr_raw, _, samples = body.partition(b":")
-        return int(sr_raw), np.frombuffer(samples, dtype=np.int8)
+        try:
+            sr = int(sr_raw)
+        except ValueError as exc:  # corrupt header = undecodable, NOT a task failure
+            raise NotImplementedError(f"malformed FAKEAUD header: {sr_raw[:20]!r}") from exc
+        return sr, np.frombuffer(samples, dtype=np.int8)
     backend = resolve_backend(AUDIO_BACKEND_PROP, AUDIO_BACKEND_ENV)
     if backend is not None:
         sr, samples = backend(payload)

@@ -60,6 +60,7 @@ def audio(spark):
         ("aud-1", bytearray(mm.AUDIO_MARKER + b"8000:" + bytes(range(100)))),
         ("aud-2", bytearray(mm.AUDIO_MARKER + b"16000:" + bytes(200))),
         ("bad-aud", bytearray(b"RIFF not decodable here")),
+        ("corrupt-hdr", bytearray(mm.AUDIO_MARKER + b"not-a-rate:\x01\x02")),
     ]
     return spark.createDataFrame(rows, schema=MEDIA)
 
@@ -72,6 +73,8 @@ def test_audio_features_and_null_on_undecodable(audio):
     assert out["aud-1"]["rms"] > 0
     assert out["aud-2"]["rms"] == 0.0  # silence
     assert out["bad-aud"]["sample_rate"] is None and out["bad-aud"]["rms"] is None
+    # corrupt FAKEAUD header degrades to nulls too — never a task failure
+    assert out["corrupt-hdr"]["sample_rate"] is None
 
 
 def test_audio_resample_decimates(audio):

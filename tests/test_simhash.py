@@ -51,11 +51,19 @@ def _brute_pairs(hashes: dict, max_hamming: int) -> set:
     return out
 
 
-@pytest.mark.parametrize("max_hamming", [3, 8])
+@pytest.mark.parametrize("max_hamming", [0, 3, 8])
 def test_blocking_recall_is_total(spark, max_hamming):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
         F.col("doc_id") < 150
     )
+    if max_hamming == 0:
+        # single-segment edge (64-bit seg_val, no mask literal): needs
+        # exact simhash twins, which the corpus lacks — clone some docs
+        clones = docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+        docs = docs.select(*docs.columns).unionByName(clones)
     hashes = {
         r["doc_id"]: r["h"]
         for r in docs.select("doc_id", dedup.simhash64(F.col("text")).alias("h")).collect()
