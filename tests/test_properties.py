@@ -90,6 +90,63 @@ def _shingle_set(text: str, k: int = 5) -> set[str]:
     return {norm[i : i + k] for i in range(len(norm) - k + 1)}
 
 
+@settings(max_examples=200, deadline=None)
+@given(text_st)
+def test_simhash_vectorized_matches_scalar(s):
+    """The numpy batch SimHash must equal the scalar spec on arbitrary
+    unicode (the fixture-based parity test covers the batch path; this
+    covers the math on adversarial inputs, driver-side)."""
+    import hashlib
+
+    import numpy as np
+
+    from ocr_spark.operators import dedup
+
+    # reproduce the UDF's inner math without Spark
+    tokens = (s or "").lower().split()
+    if not tokens:
+        assert dedup.simhash64_py(s) == 0
+        return
+    uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+    rows = np.stack([
+        np.unpackbits(
+            np.frombuffer(hashlib.md5(t.encode()).digest()[:8], dtype=np.uint8)
+        ).astype(np.int64) * 2 - 1
+        for t in uniq
+    ])
+    sums = counts @ rows
+    v = int((sums > 0).astype(np.uint64) @ dedup._SIMHASH_POWS)
+    v = v - (1 << 64) if v >= (1 << 63) else v
+    assert v == dedup.simhash64_py(s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.one_of(st.none(), st.floats(0, 1e6, allow_nan=False)),
+    st.one_of(st.none(), st.floats(0, 1e6, allow_nan=False)),
+    st.one_of(st.none(), st.floats(0, 1e6, allow_nan=False)),
+    st.one_of(st.none(), st.floats(0.15, 0.25)),
+)
+def test_ml_amount_layers_are_stable(sub, vat, ttc, rate):
+    """ML amount layers: imputation never erases a present value, and the
+    consistency correction is idempotent (correcting a corrected triple
+    changes nothing)."""
+    from ocr_spark.kernel import ml
+
+    s2, v2, t2 = ml.impute_amounts(sub, vat, ttc, rate)
+    assert s2 == sub
+    if vat:
+        assert v2 == vat
+    if ttc:
+        assert t2 == ttc
+    once = ml.validate_amounts_consistency(s2, v2, t2)
+    twice = ml.validate_amounts_consistency(s2, v2, once)
+    assert once == twice
+    if s2 and v2 and once:
+        assert abs((s2 + v2) - once) <= 0.01 or once == ttc
+        assert ml.check_calculation_consistency(s2, v2, once)
+
+
 @settings(max_examples=150, deadline=None)
 @given(text_st, text_st)
 def test_jaccard_bounds_and_symmetry(a, b):

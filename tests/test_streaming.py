@@ -79,6 +79,47 @@ def test_two_streams_same_outdir_no_collision(spark, tmp_path):
     assert read_committed(spark, out).count() == totals
 
 
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Stateful dropDuplicates on the canonical fingerprint suppresses
+    duplicates ACROSS micro-batches (first arrival wins) and matches the
+    batch exact_dedup survivor set on arrival-ordered input."""
+    import pathlib
+
+    from ocr_spark.operators.dedup import exact_dedup
+    from ocr_spark.streaming.dedup import dedup_stream
+
+    texts = ["alpha doc", "beta  doc", "ALPHA DOC", "gamma", "alpha   doc", "beta doc"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    stream_dir = str(tmp_path / "dedup_in")
+    pathlib.Path(stream_dir).mkdir()
+    for i, row in enumerate(rows):  # one doc per file → one per micro-batch
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(1).write.parquet(
+            f"{stream_dir}/f={i}"
+        )
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/f=*")
+    )
+    seen: list[tuple[int, str]] = []
+
+    def sink(batch_df, _bid):
+        seen.extend((r["doc_id"], r["fp"]) for r in batch_df.collect())
+
+    q = (
+        dedup_stream(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {r["doc_id"] for r in exact_dedup(batch).collect()}
+    assert {d for d, _ in seen} == expected  # {0: alpha, 1: beta, 3: gamma}
+    assert len({fp for _, fp in seen}) == len(seen)  # one survivor per fp
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization drained over time-ordered
     files must equal the batch sessionize aggregate (same 30-min gap)."""
