@@ -178,55 +178,86 @@ def fields_batch(
     b = basic.extract(contents)
     norm = normalize_content(base["kind"], contents)
 
+    # column-list iteration, not per-row .iloc views — this runs once per
+    # span in the hot path and pandas row views cost ~100 µs each
+    # (profiled: ~10 % of the kernel)
+    cols = {
+        "l_number": l["invoice_number"].tolist(),
+        "l_date": l["invoice_date"].tolist(),
+        "l_due": l["due_date"].tolist(),
+        "l_currency": l["currency"].tolist(),
+        "l_ht": l["total_ht"].tolist(),
+        "l_tva": l["tva"].tolist(),
+        "l_ttc": l["total_ttc"].tolist(),
+        "l_company": l["company_erp_code"].tolist(),
+        "l_supplier": l["supplier_name"].tolist(),
+        "l_email": l["email"].tolist(),
+        "l_phone": l["phone"].tolist(),
+        "s_number": s["invoice_number"].tolist(),
+        "s_date": s["invoice_date"].tolist(),
+        "s_currency": s["currency"].tolist(),
+        "s_ht": s["total_ht"].tolist(),
+        "s_tva": s["tva"].tolist(),
+        "s_ttc": s["total_ttc"].tolist(),
+        "b_items": b["line_items"].tolist(),
+        "b_siret": b["siret"].tolist(),
+        "b_vat": b["vat_number"].tolist(),
+        "b_conf": b["confidence"].tolist(),
+        "doc_id": base["doc_id"].tolist(),
+        "kind": base["kind"].tolist(),
+        "media_ref": base["media_ref"].tolist(),
+        "offset": base["offset"].tolist(),
+        "norm": norm.tolist(),
+    }
     rows = []
     for i in range(len(base)):
-        lr, sr, br = l.iloc[i], s.iloc[i], b.iloc[i]
         # X13 items (basic family, data_extractor.py:304-336) → one
         # deterministic JSON blob (AR3 shape: compact separators, insertion
         # key order, shortest-round-trip floats); None when no items so no
         # field:line_items span is emitted for item-less spans.
-        items = br["line_items"]
+        items = cols["b_items"][i]
         items_json = (
             json.dumps(items, ensure_ascii=False, separators=(",", ":"))
             if items else None
         )
         # invoice_service.py:249-263 — LLM number always present (md5 fallback)
-        number = lr["invoice_number"] or sr["invoice_number"] or "INV-DEFAULT"
+        number = cols["l_number"][i] or cols["s_number"][i] or "INV-DEFAULT"
         # :266-277 — LLM date always present (as_of fallback)
-        inv_date = lr["invoice_date"] or sr["invoice_date"]
+        inv_date = cols["l_date"][i] or cols["s_date"][i]
         # :294-309 — LLM customer.name carries the ERP code; Swiss is None
-        company = lr["company_erp_code"] or "SITSE"
+        company = cols["l_company"][i] or "SITSE"
         # :279-292
-        supplier = lr["supplier_name"] or "Fournisseur Inconnu"
+        supplier = cols["l_supplier"][i] or "Fournisseur Inconnu"
         # :313-321
-        currency = lr["currency"] or sr["currency"] or "CHF"
+        currency = cols["l_currency"][i] or cols["s_currency"][i] or "CHF"
         # :323-356 — falsy coalesce (a 0.00 counts as absent), defaults 0.00
-        ht = _dec(lr["total_ht"]) or _dec(sr["total_ht"]) or Decimal("0.00")
-        tva = _dec(lr["tva"]) or _dec(sr["tva"]) or Decimal("0.00")
-        ttc = _dec(lr["total_ttc"]) or _dec(sr["total_ttc"]) or Decimal("0.00")
+        ht = _dec(cols["l_ht"][i]) or _dec(cols["s_ht"][i]) or Decimal("0.00")
+        tva = _dec(cols["l_tva"][i]) or _dec(cols["s_tva"][i]) or Decimal("0.00")
+        ttc = _dec(cols["l_ttc"][i]) or _dec(cols["s_ttc"][i]) or Decimal("0.00")
+        due = cols["l_due"][i]
         rows.append(
             {
-                "doc_id": base.at[i, "doc_id"],
-                "kind": base.at[i, "kind"],
-                "media_ref": base.at[i, "media_ref"] or "",
-                "offset": int(base.at[i, "offset"]),
-                "norm_text": norm.iloc[i],
+                "doc_id": cols["doc_id"][i],
+                "kind": cols["kind"][i],
+                "media_ref": cols["media_ref"][i] or "",
+                "offset": int(cols["offset"][i]),
+                "norm_text": cols["norm"][i],
                 "invoice_number": number,
                 "invoice_date": inv_date.isoformat() if inv_date else None,
-                "due_date": lr["due_date"].isoformat() if lr["due_date"] else None,
+                "due_date": due.isoformat() if due else None,
                 "currency": currency,
                 "total_ht": str(ht),
                 "tva": str(tva),
                 "total_ttc": str(ttc),
                 "amount_due": str(ttc),
-                "siret": br["siret"],
-                "vat_number": br["vat_number"],
+                "siret": cols["b_siret"][i],
+                "vat_number": cols["b_vat"][i],
                 "supplier_name": supplier,
                 "company_erp_code": company,
-                "email": lr["email"],
-                "phone": lr["phone"],
+                "email": cols["l_email"][i],
+                "phone": cols["l_phone"][i],
                 "line_items": items_json,
-                "confidence": float(br["confidence"]),
+                "confidence": float(cols["b_conf"][i]),
             }
         )
     return pd.DataFrame.from_records(rows, columns=FIELDS_COLUMNS)

@@ -100,10 +100,15 @@ _WS = re.compile(r"\s+")
 
 
 def extract_invoice_number(text: str) -> str:
-    """X2 cascade with determinized fallback (FIXTURES.md §5)."""
+    """X2 cascade with determinized fallback (FIXTURES.md §5).
+
+    finditer, not findall: the cascade takes the FIRST acceptable match,
+    so lazy iteration short-circuits instead of materializing every
+    match in the document (profiled: findall across the cascades was the
+    single largest kernel cost; match order is identical)."""
     for rx in _NUMBER_PRIMARY + _NUMBER_SECONDARY:
-        for match in rx.findall(text):
-            clean = _WS.sub("", match.strip())
+        for m in rx.finditer(text):
+            clean = _WS.sub("", m.group(1).strip())
             if len(clean) >= 3:
                 return clean
     return f"INV-{hashlib.md5(text.encode()).hexdigest()[:8]}"
@@ -157,8 +162,8 @@ def extract_amounts(text: str) -> dict[str, Decimal]:
     for rx, slot in _AMOUNT_PATTERNS:
         if slot in amounts:
             continue
-        for match in rx.findall(text):
-            v = _plausible(match)
+        for m in rx.finditer(text):  # first plausible wins — lazy scan
+            v = _plausible(m.group(1))
             if v is not None:
                 amounts[slot] = v
                 break
@@ -193,9 +198,9 @@ def clamp_due_date(invoice_date: date | None, due_date: date | None) -> date | N
 def extract_currency(text: str) -> str:
     """X12: code word → franc/euro spelling → default CHF."""
     for rx in _CURRENCY_PATTERNS:
-        matches = rx.findall(text)
-        if matches:
-            cur = matches[0].upper()
+        m = rx.search(text)
+        if m:
+            cur = m.group(1).upper()
             if cur in ("CHF", "EUR", "USD", "GBP"):
                 return cur
             if "FRANC" in cur:
@@ -206,13 +211,13 @@ def extract_currency(text: str) -> str:
 
 
 def extract_contact(text: str) -> tuple[str | None, str | None]:
-    emails = _EMAIL_RX.findall(text)
-    email = emails[0] if emails else None
+    m = _EMAIL_RX.search(text)
+    email = m.group(0) if m else None
     phone = None
     for rx in _PHONE_RXS:
-        phones = rx.findall(text)
-        if phones:
-            phone = phones[0]
+        m = rx.search(text)
+        if m:
+            phone = m.group(0)
             break
     return email, phone
 
@@ -248,9 +253,9 @@ def find_supplier(text: str, suppliers: list[dict]) -> str | None:
             if len(words) >= 1 and re.search(r"\b" + re.escape(words[0]) + r"\b", text, re.I):
                 return name
     for rx in _SUPPLIER_GENERIC:
-        matches = rx.findall(text)
-        if matches:
-            return matches[0].strip()
+        m = rx.search(text)
+        if m:
+            return m.group(1).strip()
     return "Fournisseur Inconnu"
 
 
