@@ -110,7 +110,9 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--n-docs", type=int, default=None, help="override synth corpus size")
-    ap.add_argument("--repeat", type=int, default=2, help="runs per query; best-of timing")
+    # 3, not 2: this VM's run-to-run swing is ±30 % (frequency scaling /
+    # neighbor load); best-of-3 keeps the recorded number near steady state
+    ap.add_argument("--repeat", type=int, default=3, help="runs per query; best-of timing")
     args = ap.parse_args()
 
     from ocr_spark.queries import CATALOG
