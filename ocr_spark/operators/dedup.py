@@ -373,12 +373,21 @@ def near_dup_pairs(
         and documents.count() <= verify_broadcast_max_docs
     )
     sh = with_shingles(documents, text_col, k)
-    if not broadcast_verify:
+    if broadcast_verify:
+        # the band self-join and the two broadcast verify builds would each
+        # recompute scan→normalize→shingle (ReuseExchange never fires for
+        # this shape — verified executed plan: 4 parquet scans); one eager
+        # localCheckpoint makes every consumer read the materialized blocks,
+        # and the ContextCleaner frees them when the frames are dropped
+        sh = sh.localCheckpoint(eager=True)
+    else:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = with_minhash(sh).select("doc_id", "sig")
     # the signature (12 short hex strings) rides through the band explode so
-    # the prefilter needs no extra join against the signature frame
-    bands = band_rows(sig, carry_cols=("sig",))
+    # the prefilter needs no extra join against the signature frame; the
+    # checkpoint stops the self-join's two sides re-running the md5
+    # signature pass (tiny frame: one row per (doc, band))
+    bands = band_rows(sig, carry_cols=("sig",)).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     collisions = (
         a.join(b, on=["band", "band_hash"], how="inner")
