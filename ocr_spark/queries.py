@@ -1439,10 +1439,14 @@ _PIPELINE_GOLDEN = "/root/repo/tests/fixtures/extraction_pipeline_golden.parquet
 SQL_EXTRACTION_PIPELINE = f"SELECT * FROM '{_PIPELINE_GOLDEN}'"
 
 
-def q_extraction_pipeline(spark, sf_dir):
-    """Flagship: full span pipeline over synthesized interleaved docs."""
+SQL_EXTRACTION_SPANS = (
+    "SELECT * FROM '/root/repo/tests/fixtures/extraction_spans_golden.parquet'"
+)
+
+
+def _pipeline_frames(spark):
     from ocr_spark.corpus import COMPANIES, SUPPLIERS
-    from ocr_spark.operators.extract import run_pipeline
+    from ocr_spark.operators.extract import build_pipeline
     from ocr_spark.schemas import DOCUMENTS, MEDIA
     from ocr_spark.synth import synth_frames
 
@@ -1452,8 +1456,22 @@ def q_extraction_pipeline(spark, sf_dir):
         [(r["media_ref"], bytearray(r["payload"])) for _, r in media_pd.iterrows()],
         schema=MEDIA,
     )
-    _, invoices = run_pipeline(spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS)
-    return invoices
+    return build_pipeline(spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS)
+
+
+def q_extraction_pipeline(spark, sf_dir):
+    """Flagship: full span pipeline over synthesized interleaved docs."""
+    return _pipeline_frames(spark).invoices
+
+
+def q_extraction_spans(spark, sf_dir):
+    """The north-rule invariant itself as a CORRECTNESS row: the
+    extracted_spans table (per-document ordered span arrays) serialized
+    to JSON and hash-compared against a committed golden — span-sequence
+    equality (kind, text, media_ref, order) checked by the driver every
+    round, not only by the local e2e suite."""
+    extracted = _pipeline_frames(spark).extracted_spans
+    return extracted.select("doc_id", F.to_json("spans").alias("spans_json"))
 
 
 def _synth_media(spark, n=100):
@@ -1595,6 +1613,7 @@ CATALOG: dict[str, tuple] = {
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
+    "extraction_spans": (q_extraction_spans, SQL_EXTRACTION_SPANS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),

@@ -22,23 +22,28 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-GOLDEN = REPO / "tests" / "fixtures" / "extraction_pipeline_golden.parquet"
+FIXTURES = REPO / "tests" / "fixtures"
 
 
 def main() -> None:
-    from ocr_spark.queries import q_extraction_pipeline
+    from ocr_spark.queries import q_extraction_pipeline, q_extraction_spans
     from ocr_spark.session import get_spark
 
     spark = get_spark("gen_pipeline_golden", master="local[4]", shuffle_partitions=4)
     try:
-        out = q_extraction_pipeline(spark, sf_dir="unused")
-        with tempfile.TemporaryDirectory() as tmp:
-            # single file, sorted — byte-stable regeneration
-            out.orderBy("invoice_id").coalesce(1).write.mode("overwrite").parquet(tmp + "/g")
-            part = next(Path(tmp, "g").glob("part-*.parquet"))
-            GOLDEN.parent.mkdir(parents=True, exist_ok=True)
-            shutil.copyfile(part, GOLDEN)
-        print(f"wrote {GOLDEN} ({out.count()} rows)")
+        for name, fn, order in [
+            ("extraction_pipeline", q_extraction_pipeline, "invoice_id"),
+            ("extraction_spans", q_extraction_spans, "doc_id"),
+        ]:
+            out = fn(spark, sf_dir="unused")
+            with tempfile.TemporaryDirectory() as tmp:
+                # single file, sorted — byte-stable regeneration
+                out.orderBy(order).coalesce(1).write.mode("overwrite").parquet(tmp + "/g")
+                part = next(Path(tmp, "g").glob("part-*.parquet"))
+                dest = FIXTURES / f"{name}_golden.parquet"
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copyfile(part, dest)
+            print(f"wrote {dest} ({out.count()} rows)")
     finally:
         spark.stop()
 
