@@ -44,6 +44,14 @@ _VAT_RX = re.compile(r"(?:tva|vat)[\s:]*([A-Z]{2}\d{11})", re.I)
 _LINE_ITEM_RX = re.compile(
     r"([^\d\n]+)\s+(\d+(?:[,\.]\d+)?)\s+(\d+(?:[,\.]\d{2})?)\s+(\d+(?:[,\.]\d{2})?)"
 )
+# Necessary condition for any _LINE_ITEM_RX match: three whitespace-
+# separated numbers whose 2nd/3rd use the SAME subpatterns as the full
+# regex (full match ⟹ this matches inside it).  The full pattern's
+# leading [^\d\n]+ backtracks at every non-digit start position on
+# item-free docs (the T1 clean leaves one giant line), so a failed cheap
+# digit-anchored search skips it — measured 1.7× on the basic family
+# with bit-identical findall results (same trick as _street_possible).
+_TRIPLE_NUM_RX = re.compile(r"\d[\d,\.]*\s+\d+(?:[,\.]\d{2})?\s+\d+(?:[,\.]\d{2})?")
 # data_extractor.py:343-352 — ordered (pattern, field) pairs
 _TOTALS_PATTERNS = [
     (re.compile(r"(?:Sous.total|TOTAL\s+HT)[\s:]*(\d+(?:[,\.]\d{2})?)", re.I), "subtotal_excl_vat"),
@@ -207,7 +215,7 @@ def _record(cleaned: str) -> dict:
 
     # line items (data_extractor.py:304-336)
     items = []
-    for m in _LINE_ITEM_RX.findall(cleaned):
+    for m in _LINE_ITEM_RX.findall(cleaned) if _TRIPLE_NUM_RX.search(cleaned) else ():
         try:
             amount = float(m[3].replace(",", "."))
             items.append(
