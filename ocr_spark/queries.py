@@ -1154,6 +1154,46 @@ FROM w
 """
 
 
+def q_winnow_match_pairs(spark, sf_dir):
+    """Passage-overlap pairs: docs sharing ≥ 3 winnowing fingerprints
+    after the stop-fingerprint cut (fingerprint-keyed self-join — the
+    MOSS-style dedup primitive)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fps = dedup.with_winnow_fingerprints(docs)
+    return dedup.winnow_match_pairs(fps, min_shared=3, max_df=20)
+
+
+SQL_WINNOW_MATCH_PAIRS = f"""
+WITH n AS (
+  SELECT doc_id, {_SQL_NORM} AS norm FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(norm) - 4, 1)),
+           i -> md5(substring(norm, i, 5))) AS h
+  FROM n
+), w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(1, greatest(len(h) - 3, 1)),
+           j -> list_aggregate(list_slice(h, j, j + 3), 'min')))) AS fps
+  FROM g
+), flat AS (
+  SELECT doc_id, unnest(fps) AS fp FROM w
+), kept AS (
+  SELECT doc_id, fp FROM flat
+  WHERE fp NOT IN (
+    SELECT fp FROM flat GROUP BY fp HAVING count(DISTINCT doc_id) > 20
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(DISTINCT a.fp) AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(DISTINCT a.fp) >= 3
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signature (8 seeds over md5) for a doc subset."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1603,6 +1643,7 @@ CATALOG: dict[str, tuple] = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_match_pairs": (q_winnow_match_pairs, SQL_WINNOW_MATCH_PAIRS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
