@@ -222,41 +222,76 @@ def extract_contact(text: str) -> tuple[str | None, str | None]:
     return email, phone
 
 
+def _compile_company_dims(companies: list[dict]) -> list[tuple[str, "re.Pattern | None", "re.Pattern | None"]]:
+    """Precompiled (erp, erp_rx, name_words_rx) per dim — the dim regexes
+    are constant across a batch, but compiling them per ROW (re.escape +
+    cache lookup per dim per doc) measured ~10 % of the llm family."""
+    out = []
+    for company in companies:
+        erp = company.get("erp_code", "")
+        name = company.get("name", "")
+        erp_rx = re.compile(re.escape(erp), re.I) if erp else None
+        words_rx = None
+        if name and len(name) > 5:
+            words = name.split()[:3]
+            if len(words) >= 2:
+                words_rx = re.compile(r"\b" + re.escape(" ".join(words)) + r"\b", re.I)
+        out.append((erp, erp_rx, words_rx))
+    return out
+
+
+def _find_company_compiled(text: str, dims, companies: list[dict]) -> str | None:
+    for erp, erp_rx, words_rx in dims:
+        if erp_rx and erp_rx.search(text):
+            return erp
+        if words_rx and words_rx.search(text):
+            return erp
+    if companies:
+        return companies[0]["erp_code"]
+    return "DEFAULT_COMPANY"
+
+
 def find_company(text: str, companies: list[dict]) -> str | None:
     """J1/J2: first company (dim order) whose ERP code appears in the text,
     or whose 2-3 leading name words appear word-bounded; default = first
     dim row's ERP code (llm_enhanced_extractor.py:310-336)."""
-    for company in companies:
-        erp = company.get("erp_code", "")
-        name = company.get("name", "")
-        if erp and re.search(re.escape(erp), text, re.I):
-            return erp
-        if name and len(name) > 5:
-            words = name.split()[:3]
-            if len(words) >= 2 and re.search(r"\b" + re.escape(" ".join(words)) + r"\b", text, re.I):
-                return erp
-    if companies:
-        return companies[0]["erp_code"]
-    return "DEFAULT_COMPANY"
+    return _find_company_compiled(text, _compile_company_dims(companies), companies)
+
+
+def _compile_supplier_dims(suppliers: list[dict]) -> list[tuple[str, "re.Pattern", "re.Pattern"]]:
+    out = []
+    for supplier in suppliers:
+        name = supplier.get("social_reason", "")
+        if name and len(name) > 3:
+            words = name.split()[:2]
+            out.append(
+                (
+                    name,
+                    re.compile(re.escape(name), re.I),
+                    re.compile(r"\b" + re.escape(words[0]) + r"\b", re.I) if len(words) >= 1 else None,
+                )
+            )
+    return out
+
+
+def _find_supplier_compiled(text: str, dims) -> str | None:
+    for name, name_rx, word_rx in dims:
+        if name_rx.search(text):
+            return name
+        if word_rx and word_rx.search(text):
+            return name
+    for rx in _SUPPLIER_GENERIC:
+        m = rx.search(text)
+        if m:
+            return m.group(1).strip()
+    return "Fournisseur Inconnu"
 
 
 def find_supplier(text: str, suppliers: list[dict]) -> str | None:
     """J3: exact containment, then first-word boundary match, then the
     generic regex fallback, then 'Fournisseur Inconnu'
     (llm_enhanced_extractor.py:338-370)."""
-    for supplier in suppliers:
-        name = supplier.get("social_reason", "")
-        if name and len(name) > 3:
-            if re.search(re.escape(name), text, re.I):
-                return name
-            words = name.split()[:2]
-            if len(words) >= 1 and re.search(r"\b" + re.escape(words[0]) + r"\b", text, re.I):
-                return name
-    for rx in _SUPPLIER_GENERIC:
-        m = rx.search(text)
-        if m:
-            return m.group(1).strip()
-    return "Fournisseur Inconnu"
+    return _find_supplier_compiled(text, _compile_supplier_dims(suppliers))
 
 
 def extract(
@@ -272,6 +307,8 @@ def extract(
     cleaned = clean_llm(texts)
     companies = companies or []
     suppliers = suppliers or []
+    company_dims = _compile_company_dims(companies)
+    supplier_dims = _compile_supplier_dims(suppliers)
     records = []
     for text in cleaned:
         inv_date, due = extract_dates(text, as_of_date)
@@ -288,8 +325,8 @@ def extract(
                 "tva": amounts.get("tva"),
                 "total_ttc": amounts.get("total_ttc"),
                 "amount_generic": amounts.get("amount_generic"),
-                "company_erp_code": find_company(text, companies),
-                "supplier_name": find_supplier(text, suppliers),
+                "company_erp_code": _find_company_compiled(text, company_dims, companies),
+                "supplier_name": _find_supplier_compiled(text, supplier_dims),
                 "email": email,
                 "phone": phone,
             }
