@@ -134,6 +134,15 @@ def main() -> None:
         # warm the JVM + python workers once so timings measure the engine
         spark.range(1000).selectExpr("sum(id)").collect()
 
+        # host-health canary: fixed pure-JVM work, recorded in the JSON.
+        # This VM has degraded windows where EVERYTHING (incl. JVM-only
+        # queries) runs 3-5x slower; the canary lets a reader tell "slow
+        # engine" from "slow host" when comparing rounds (healthy local[32]
+        # ≈ 0.3-0.6 s for this).
+        t0 = time.monotonic()
+        spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        host_canary_sec = round(time.monotonic() - t0, 3)
+
         flagship = run_flagship(spark, n_docs, repeat=args.repeat)
         queries: dict[str, float] = {"extraction_pipeline": flagship["sec"]}
         if not args.flagship_only:
@@ -163,6 +172,7 @@ def main() -> None:
                     # r02+: the flagship writes BOTH tables from one kernel
                     # pass (r01 measured the spans output only)
                     "extraction_outputs": "extracted_spans+invoices",
+                    "host_canary_sec": host_canary_sec,
                 }
             )
         )
