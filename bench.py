@@ -143,6 +143,19 @@ def main() -> None:
         spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
         host_canary_sec = round(time.monotonic() - t0, 3)
 
+        # python-path canary: fixed Arrow+pandas work — degraded windows
+        # hit the python workers harder than raw JVM arithmetic (memory
+        # bandwidth), so record both (healthy local[32] ≈ 1-2 s).
+        import pandas as _pd
+
+        def _burn(it):
+            for b in it:
+                yield _pd.DataFrame({"x": [float(b["id"].map(hash).sum())]})
+
+        t0 = time.monotonic()
+        spark.range(2_000_000).mapInPandas(_burn, "x double").collect()
+        py_canary_sec = round(time.monotonic() - t0, 3)
+
         flagship = run_flagship(spark, n_docs, repeat=args.repeat)
         queries: dict[str, float] = {"extraction_pipeline": flagship["sec"]}
         if not args.flagship_only:
@@ -173,6 +186,7 @@ def main() -> None:
                     # pass (r01 measured the spans output only)
                     "extraction_outputs": "extracted_spans+invoices",
                     "host_canary_sec": host_canary_sec,
+                    "py_canary_sec": py_canary_sec,
                 }
             )
         )
