@@ -18,6 +18,8 @@ keep the two engines hash-equal:
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1470,7 +1472,12 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
-_PIPELINE_GOLDEN = "/root/repo/tests/fixtures/extraction_pipeline_golden.parquet"
+# Fixture dir derived from this module's location (not a hardcoded
+# /root/repo) so the correctness gate works from any checkout path — the
+# gen tools already derive it the same way (ADVICE r02).
+_FIXTURES_DIR = str(Path(__file__).resolve().parents[1] / "tests" / "fixtures")
+
+_PIPELINE_GOLDEN = f"{_FIXTURES_DIR}/extraction_pipeline_golden.parquet"
 
 # The kernel is Python, so no SQL can recompute the pipeline — instead the
 # output is PINNED: tools/gen_pipeline_golden.py writes the expected
@@ -1480,7 +1487,7 @@ SQL_EXTRACTION_PIPELINE = f"SELECT * FROM '{_PIPELINE_GOLDEN}'"
 
 
 SQL_EXTRACTION_SPANS = (
-    "SELECT * FROM '/root/repo/tests/fixtures/extraction_spans_golden.parquet'"
+    f"SELECT * FROM '{_FIXTURES_DIR}/extraction_spans_golden.parquet'"
 )
 
 
@@ -1500,8 +1507,16 @@ def _pipeline_frames(spark):
 
 
 def q_extraction_pipeline(spark, sf_dir):
-    """Flagship: full span pipeline over synthesized interleaved docs."""
-    return _pipeline_frames(spark).invoices
+    """Flagship: full span pipeline over synthesized interleaved docs.
+
+    The DTO's array columns (state_validations, document_urls) travel as
+    JSON strings: the driver's pandas canonicalizer cannot sort/hash list
+    cells (the r02 red row), and JSON is the same canonical form the spans
+    golden already uses."""
+    inv = _pipeline_frames(spark).invoices
+    return inv.withColumn(
+        "state_validations", F.to_json("state_validations")
+    ).withColumn("document_urls", F.to_json("document_urls"))
 
 
 def q_extraction_spans(spark, sf_dir):
@@ -1529,7 +1544,7 @@ def _synth_media(spark, n=100):
 # (like extraction_pipeline) their outputs are pinned to committed golden
 # parquets (tools/gen_media_goldens.py) that DuckDB reads back — binary
 # payloads travel hex-encoded so both engines canonicalize identically.
-_MEDIA_GOLDEN_DIR = "/root/repo/tests/fixtures"
+_MEDIA_GOLDEN_DIR = _FIXTURES_DIR
 SQL_MEDIA_FEATURES = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_features_golden.parquet'"
 SQL_MEDIA_RESIZE = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_resize_golden.parquet'"
 SQL_MEDIA_FRAME_SAMPLE = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_frame_sample_golden.parquet'"
