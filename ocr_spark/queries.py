@@ -1459,17 +1459,54 @@ WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
 SQL_SIMHASH_NEAR_DUPS = _sql_simhash_near_dups()
 
 
+def _synth_embeddings(spark, n: int = 400, dim: int = 64):
+    """Deterministic clustered embeddings (md5-derived, no RNG): vector i
+    = cluster base direction (i mod 8) + 0.3·noise(i).  sf-independent so
+    the ANN goldens below hold at every sf the driver or tests pick —
+    recall-vs-brute on the real testdata embeddings stays gated in
+    tests/test_ann.py."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    def _vec(tag: str) -> _np.ndarray:
+        vals: list[float] = []
+        counter = 0
+        while len(vals) < dim:
+            d = _hl.md5(f"{tag}:{counter}".encode()).digest()
+            for off in range(0, 16, 2):
+                if len(vals) >= dim:
+                    break
+                vals.append((int.from_bytes(d[off : off + 2], "big") - 32767.5) / 32767.5)
+            counter += 1
+        return _np.array(vals, dtype=_np.float64)
+
+    bases = [_vec(f"cluster:{c}") for c in range(8)]
+    rows = [
+        (i, (bases[i % 8] + 0.3 * _vec(f"noise:{i}")).tolist()) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
 def q_lsh_ann_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    """LSH ANN (multi-band random-hyperplane + 1-bit multiprobe) over the
+    deterministic synthetic embeddings; output pinned to a committed
+    golden parquet (tools/gen_ann_goldens.py) that DuckDB reads back —
+    the media-ops oracle pattern for non-SQL-expressible operators."""
+    emb = _synth_embeddings(spark)
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
 def q_ivf_ann_topk(spark, sf_dir):
-    """IVF-flat ANN (inverted lists by nearest centroid, nprobe probing)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """IVF-flat ANN (inverted lists by nearest centroid, nprobe probing);
+    golden-pinned like q_lsh_ann_topk.  Centroids are md5-seeded and the
+    Lloyd step's 6-dp-rounded sims make the pin stable across reruns."""
+    emb = _synth_embeddings(spark)
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, nprobe=4
     )
+
+
 
 
 # Fixture dir derived from this module's location (not a hardcoded
@@ -1478,6 +1515,11 @@ def q_ivf_ann_topk(spark, sf_dir):
 _FIXTURES_DIR = str(Path(__file__).resolve().parents[1] / "tests" / "fixtures")
 
 _PIPELINE_GOLDEN = f"{_FIXTURES_DIR}/extraction_pipeline_golden.parquet"
+
+# ANN outputs are deterministic functions of the synthetic embeddings, so
+# (like the media ops) they pin to committed goldens (tools/gen_ann_goldens.py).
+SQL_LSH_ANN_TOPK = f"SELECT * FROM '{_FIXTURES_DIR}/lsh_ann_topk_golden.parquet'"
+SQL_IVF_ANN_TOPK = f"SELECT * FROM '{_FIXTURES_DIR}/ivf_ann_topk_golden.parquet'"
 
 # The kernel is Python, so no SQL can recompute the pipeline — instead the
 # output is PINNED: tools/gen_pipeline_golden.py writes the expected
@@ -1666,8 +1708,8 @@ CATALOG: dict[str, tuple] = {
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
-    "lsh_ann_topk": (q_lsh_ann_topk, None),
-    "ivf_ann_topk": (q_ivf_ann_topk, None),
+    "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
+    "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
     "extraction_spans": (q_extraction_spans, SQL_EXTRACTION_SPANS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
