@@ -41,15 +41,34 @@ def main() -> None:
     ap.add_argument(
         "--invoices-out",
         default=None,
-        help="also write the flat invoices table (parquet dir); the shared-"
-        "FIELDS pipeline derives it from the SAME kernel execution as the "
-        "spans output — writing both costs one extraction pass, not two",
+        help="also write the flat invoices table (manifest-sink root); the "
+        "shared-FIELDS pipeline derives it from the SAME kernel execution as "
+        "the spans output — writing both costs one extraction pass, not two",
+    )
+    ap.add_argument(
+        "--goals-out",
+        default=None,
+        help="also write the invoice_goals table (manifest-sink root)",
+    )
+    ap.add_argument(
+        "--ml-data-out",
+        default=None,
+        help="also write the invoice_ml_data training table (manifest-sink root)",
+    )
+    ap.add_argument(
+        "--fields-staging",
+        default=None,
+        help="write the kernel FIELDS output to this manifest-sink staging "
+        "dir and derive every output from the committed re-read instead of "
+        "an executor-storage persist — the safe form when the run outlives "
+        "executor storage; a resumed run re-runs only unmanifested buckets "
+        "of the kernel itself",
     )
     ap.add_argument("--master", default=None, help="override (default: env/local)")
     args = ap.parse_args()
 
     from ocr_spark.corpus import COMPANIES, SUPPLIERS
-    from ocr_spark.operators.extract import build_pipeline
+    from ocr_spark.operators.extract import build_pipeline, build_pipeline_staged
     from ocr_spark.schemas import DOCUMENTS, MEDIA
     from ocr_spark.session import get_spark
     from ocr_spark.sources.manifests import checkpointed_write
@@ -58,15 +77,19 @@ def main() -> None:
     t0 = time.monotonic()
     docs = spark.read.schema(DOCUMENTS).parquet(args.docs)
     media = spark.read.schema(MEDIA).parquet(args.media) if args.media else None
-    frames = build_pipeline(
-        spark,
-        docs,
-        media,
+    common = dict(
         companies=COMPANIES,
         suppliers=SUPPLIERS,
         salt=args.salt,
         page_split_bytes=args.page_split_bytes,
     )
+    if args.fields_staging:
+        frames = build_pipeline_staged(
+            spark, docs, media, args.fields_staging, args.snapshot,
+            n_buckets=args.buckets, **common,
+        )
+    else:
+        frames = build_pipeline(spark, docs, media, **common)
     stats = checkpointed_write(
         spark,
         frames.extracted_spans,
@@ -74,9 +97,21 @@ def main() -> None:
         n_buckets=args.buckets,
         input_snapshot=args.snapshot,
     )
-    if args.invoices_out:
-        frames.invoices.write.mode("overwrite").parquet(args.invoices_out)
-        stats["invoices_out"] = args.invoices_out
+    # every side output goes through the SAME manifest protocol (VERDICT
+    # r02 #3: a plain overwrite beside a checkpointed spans write meant a
+    # crash between the two left committed spans and missing invoices with
+    # no resume marker) — resumed runs are exactly-once for every table.
+    for flag, frame, key in [
+        (args.invoices_out, frames.invoices, "doc_id"),
+        (args.goals_out, frames.invoice_goals, "invoice_id"),
+        (args.ml_data_out, frames.ml_data, "doc_id"),
+    ]:
+        if flag:
+            s = checkpointed_write(
+                spark, frame, flag, n_buckets=args.buckets,
+                input_snapshot=args.snapshot, key_col=key,
+            )
+            stats[flag] = {k: s[k] for k in ("buckets_written", "buckets_skipped", "rows")}
     frames.unpersist()
     stats["wall_sec"] = round(time.monotonic() - t0, 2)
     print(json.dumps(stats))

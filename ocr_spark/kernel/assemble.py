@@ -57,8 +57,14 @@ IMAGE_BACKEND_ENV = "OCR_SPARK_IMAGE_BACKEND"
 
 FIELDS_COLUMNS = [
     "doc_id", "kind", "media_ref", "offset", "norm_text",
-    *FIELD_SPAN_ORDER, "confidence",
+    *FIELD_SPAN_ORDER, "confidence", "raw_text",
 ]
+
+# ml_enhanced_extractor.py:416 — the ML training sink stores the RAW
+# resolved text truncated to 10 000 chars ("Limiter la taille"); the
+# truncation happens here (not in the sink projection) so the persisted
+# FIELDS frame never carries unbounded span text twice.
+RAW_TEXT_LIMIT = 10_000
 SPAN_ROW_COLUMNS = ["doc_id", "offset", "seq", "kind", "text", "media_ref"]
 
 
@@ -208,6 +214,7 @@ def fields_batch(
         "media_ref": base["media_ref"].tolist(),
         "offset": base["offset"].tolist(),
         "norm": norm.tolist(),
+        "content": contents.tolist(),
     }
     rows = []
     for i in range(len(base)):
@@ -258,6 +265,7 @@ def fields_batch(
                 "phone": cols["l_phone"][i],
                 "line_items": items_json,
                 "confidence": float(cols["b_conf"][i]),
+                "raw_text": (cols["content"][i] or "")[:RAW_TEXT_LIMIT],
             }
         )
     return pd.DataFrame.from_records(rows, columns=FIELDS_COLUMNS)

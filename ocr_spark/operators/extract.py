@@ -47,6 +47,9 @@ FIELDS_ROW_SCHEMA = T.StructType(
         T.StructField("norm_text", T.StringType(), True),
         *[T.StructField(name, T.StringType(), True) for name in FIELD_SPAN_ORDER],
         T.StructField("confidence", T.DoubleType(), True),
+        # raw resolved span text, kernel-truncated to assemble.RAW_TEXT_LIMIT
+        # (ml_enhanced_extractor.py:416) — feeds the invoice_ml_data sink
+        T.StructField("raw_text", T.StringType(), True),
     ]
 )
 
@@ -463,6 +466,71 @@ def invoice_goals_from_fields(fields_rows: DataFrame) -> DataFrame:
     )
 
 
+def ml_data_from_fields(fields_rows: DataFrame) -> DataFrame:
+    """FIELDS rows → invoice_ml_data training rows, pure-JVM projection of
+    the reference's ``_save_ml_training_data`` insert
+    (src/extraction/ml_enhanced_extractor.py:393-428):
+
+    * ``raw_text`` — the resolved span text, already kernel-truncated to
+      10 000 chars (:416, "Limiter la taille");
+    * ``extracted_data`` — the JSON blob the reference builds at :399-405
+      ({extracted_data, confidence_score, processing_time,
+      validation_score, filename}), with the pipeline's FIELDS as the
+      extracted-data dict and doc_id as the filename analogue;
+    * the score columns via kernel/ml.py semantics computed JVM-side
+      (tested equal to the Python functions in tests/test_pipeline_e2e):
+      validation_score/data_quality_score = presence-count/4 over
+      (number, ttc, supplier, date) with FLOAT-truthiness (0.00 counts as
+      absent, ml.validation_score:154-160), and the M6 calculation check
+      (ml.check_calculation_consistency:145-151).
+
+    ``processing_time`` is determinized to 0.0 (wall-clock in the
+    reference — same policy as uuid4 → sha2, FIXTURES.md §5).
+    """
+    ht = F.col("total_ht").cast("double")
+    tva = F.col("tva").cast("double")
+    ttc = F.col("total_ttc").cast("double")
+    present = lambda c: c.isNotNull() & (c != 0)  # noqa: E731 — float-truthy
+    quality = (
+        F.when(F.col("invoice_number").isNotNull() & (F.col("invoice_number") != ""), 1).otherwise(0)
+        + F.when(present(ttc), 1).otherwise(0)
+        + F.when(F.col("supplier_name").isNotNull() & (F.col("supplier_name") != ""), 1).otherwise(0)
+        + F.when(F.col("invoice_date").isNotNull(), 1).otherwise(0)
+    ) / F.lit(4.0)
+    calc_check = (
+        present(ht) & present(tva) & present(ttc)
+        & (F.abs(ht + tva - ttc) <= 0.01)
+    )
+    blob = F.to_json(
+        F.struct(
+            F.struct(
+                "invoice_number", "invoice_date", "due_date", "currency",
+                "total_ht", "tva", "total_ttc", "amount_due", "siret",
+                "vat_number", "supplier_name", "company_erp_code", "email",
+                "phone", "line_items",
+            ).alias("extracted_data"),
+            F.col("confidence").alias("confidence_score"),
+            F.lit(0.0).alias("processing_time"),
+            quality.alias("validation_score"),
+            F.col("doc_id").alias("filename"),
+        )
+    )
+    return fields_rows.select(
+        F.sha2(
+            F.concat_ws("|", "doc_id", F.col("offset").cast("string"), F.lit("ml")), 256
+        ).alias("ml_id"),
+        "doc_id",
+        "raw_text",
+        blob.alias("extracted_data"),
+        F.col("confidence").alias("confidence_score"),
+        F.lit(0.0).alias("processing_time"),
+        quality.alias("validation_score"),
+        quality.alias("data_quality_score"),
+        calc_check.alias("ml_calculation_check"),
+        (quality >= 0.5).alias("ml_required_fields_present"),
+    )
+
+
 class PipelineFrames:
     """Shared-FIELDS pipeline outputs: ONE kernel execution feeds every
     table.  ``fields`` is persisted (memory, spill to disk) so whichever
@@ -475,11 +543,13 @@ class PipelineFrames:
         extracted_spans: DataFrame,
         invoices: DataFrame,
         invoice_goals: DataFrame,
+        ml_data: DataFrame,
     ):
         self.fields = fields
         self.extracted_spans = extracted_spans
         self.invoices = invoices
         self.invoice_goals = invoice_goals
+        self.ml_data = ml_data
 
     def unpersist(self) -> None:
         self.fields.unpersist()
@@ -509,27 +579,94 @@ def build_pipeline(
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fields = _fields_dataflow(
+        documents, media, as_of, companies, suppliers, num_partitions, salt,
+        page_split_bytes,
+    )
+    from pyspark import StorageLevel
+
+    fields = fields.persist(StorageLevel.MEMORY_AND_DISK)
+    return _frames_from_fields(fields)
+
+
+def _fields_dataflow(
+    documents: DataFrame,
+    media: DataFrame | None,
+    as_of: date,
+    companies: list[dict] | None,
+    suppliers: list[dict] | None,
+    num_partitions: int,
+    salt: int,
+    page_split_bytes: int | None,
+) -> DataFrame:
+    """The shared FIELDS-producing prelude: explode → payload attach →
+    salted repartition → (paged) kernel."""
     rows = explode_spans(documents)
     rows = attach_payloads(rows, media)
     rows = salted_repartition(rows, num_partitions, salt)
     if page_split_bytes is None:
-        fields = extract_fields(rows, as_of, companies, suppliers)
-    else:
-        fields = extract_fields_paged(
-            rows,
-            as_of,
-            companies,
-            suppliers,
-            oversize_bytes=page_split_bytes,
-            num_partitions=num_partitions,
-        )
-    from pyspark import StorageLevel
+        return extract_fields(rows, as_of, companies, suppliers)
+    return extract_fields_paged(
+        rows,
+        as_of,
+        companies,
+        suppliers,
+        oversize_bytes=page_split_bytes,
+        num_partitions=num_partitions,
+    )
 
-    fields = fields.persist(StorageLevel.MEMORY_AND_DISK)
+
+def _frames_from_fields(fields: DataFrame) -> PipelineFrames:
     spans = assemble_spans_table(span_rows_from_fields(fields))
     return PipelineFrames(
-        fields, spans, invoices_from_fields(fields), invoice_goals_from_fields(fields)
+        fields,
+        spans,
+        invoices_from_fields(fields),
+        invoice_goals_from_fields(fields),
+        ml_data_from_fields(fields),
     )
+
+
+def build_pipeline_staged(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame | None,
+    staging_dir: str,
+    input_snapshot: str,
+    n_buckets: int = 64,
+    as_of: date = assemble.DEFAULT_AS_OF,
+    companies: list[dict] | None = None,
+    suppliers: list[dict] | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    page_split_bytes: int | None = None,
+) -> PipelineFrames:
+    """build_pipeline with the FIELDS frame written to a parquet STAGING
+    TABLE through the manifest-checkpointed sink instead of executor-
+    storage persist (the SCALING.md trade-off #2 form): when a 100 TB run
+    outlives executor storage — multi-day jobs, preemptible executors —
+    the kernel output survives any crash, a resumed run re-submits with
+    the same ``input_snapshot`` and only the unmanifested buckets re-run
+    the kernel, and every derived output reads the committed staging
+    table (one scan each, no cache memory at all).
+
+    Costs one parquet round-trip of FIELDS vs the persist form (measured
+    ≤10 % at sf0.1 — bench.py --fields-staging); identical outputs
+    (tests/test_resume.py::test_staged_pipeline_*).
+    """
+    from ocr_spark.sources.manifests import checkpointed_write, read_committed
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fields = _fields_dataflow(
+        documents, media, as_of, companies, suppliers, num_partitions, salt,
+        page_split_bytes,
+    )
+    checkpointed_write(
+        spark, fields, staging_dir, n_buckets=n_buckets, input_snapshot=input_snapshot
+    )
+    committed = read_committed(spark, staging_dir, input_snapshot)
+    return _frames_from_fields(committed)
 
 
 def run_pipeline(

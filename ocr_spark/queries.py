@@ -1561,6 +1561,20 @@ def q_extraction_pipeline(spark, sf_dir):
     ).withColumn("document_urls", F.to_json("document_urls"))
 
 
+SQL_ML_TRAINING_DATA = (
+    f"SELECT * FROM '{_FIXTURES_DIR}/ml_training_data_golden.parquet'"
+)
+
+
+def q_ml_training_data(spark, sf_dir):
+    """invoice_ml_data sink rows (ml_enhanced_extractor.py:393-428):
+    raw_text[:10000], the extracted-data JSON blob, and the kernel/ml
+    validation scores — derived from the SAME shared FIELDS pass as the
+    other flagship outputs (no extra kernel execution), golden-pinned
+    like extraction_pipeline."""
+    return _pipeline_frames(spark).ml_data
+
+
 def q_extraction_spans(spark, sf_dir):
     """The north-rule invariant itself as a CORRECTNESS row: the
     extracted_spans table (per-document ordered span arrays) serialized
@@ -1712,6 +1726,7 @@ CATALOG: dict[str, tuple] = {
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
     "extraction_spans": (q_extraction_spans, SQL_EXTRACTION_SPANS),
+    "ml_training_data": (q_ml_training_data, SQL_ML_TRAINING_DATA),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),

@@ -147,6 +147,25 @@ INVOICE_GOALS = T.StructType(
     ]
 )
 
+# invoice_ml_data training rows (src/extraction/ml_enhanced_extractor.py
+# :393-428 — the INSERT's column list, with determinized processing_time
+# and deterministic ids per FIXTURES.md §5) plus the two boolean
+# validation flags of MLValidationResult (:30-36, :351-391).
+INVOICE_ML_DATA = T.StructType(
+    [
+        T.StructField("ml_id", T.StringType(), False),  # sha2(doc_id|offset|ml)
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("raw_text", T.StringType(), True),  # [:10000]
+        T.StructField("extracted_data", T.StringType(), True),  # JSON blob
+        T.StructField("confidence_score", T.DoubleType(), True),
+        T.StructField("processing_time", T.DoubleType(), False),  # 0.0
+        T.StructField("validation_score", T.DoubleType(), False),
+        T.StructField("data_quality_score", T.DoubleType(), False),
+        T.StructField("ml_calculation_check", T.BooleanType(), False),
+        T.StructField("ml_required_fields_present", T.BooleanType(), False),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Reference dimension tables (broadcast enrichment joins, FIXTURES.md §2)
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,9 +38,23 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "manifests")
 
 
-def with_bucket(df: DataFrame, n_buckets: int, salt: int = 0) -> DataFrame:
+def _is_path_missing(e: AnalysisException) -> bool:
+    """True only for the no-such-path analysis error.  Everything else
+    (transient IO, schema corruption, permissions) must PROPAGATE: ADVICE
+    r02 — swallowing a genuine read failure after a successful data append
+    would skip the manifest rows for buckets that WERE committed, and the
+    next retry's anti-join would re-append them (duplicate data, broken
+    idempotency)."""
+    cond = getattr(e, "getCondition", lambda: None)() or ""
+    return "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e)
+
+
+def with_bucket(
+    df: DataFrame, n_buckets: int, salt: int = 0, key_col: str = "doc_id"
+) -> DataFrame:
     return df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(n_buckets)).cast("int")
+        "bucket",
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(n_buckets)).cast("int"),
     )
 
 
@@ -47,8 +62,10 @@ def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _manifest_dir(out_dir)
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if _is_path_missing(e):  # first run: no manifests yet
+            return None
+        raise
 
 
 def completed_buckets(spark: SparkSession, out_dir: str, input_snapshot: str) -> DataFrame | None:
@@ -66,15 +83,18 @@ def checkpointed_write(
     input_snapshot: str,
     salt: int = 0,
     lineage_cols: list[str] | None = None,
+    key_col: str = "doc_id",
 ) -> dict:
-    """Write ``df`` (must carry doc_id) bucket-partitioned with manifests.
+    """Write ``df`` bucket-partitioned with manifests, bucketing on
+    ``key_col`` (doc_id for document-keyed tables; e.g. invoice_id for
+    the goals table, which carries no doc_id).
 
     Returns {"epoch", "buckets_written", "buckets_skipped", "rows"}.
     Already-manifested buckets for this input_snapshot are skipped
     (resume semantics); the epoch id isolates this attempt's files.
     """
     epoch = uuid.uuid4().hex[:16]
-    bucketed = with_bucket(df, n_buckets, salt).withColumn("epoch", F.lit(epoch))
+    bucketed = with_bucket(df, n_buckets, salt, key_col).withColumn("epoch", F.lit(epoch))
 
     done = completed_buckets(spark, out_dir, input_snapshot)
     skipped = 0
@@ -93,10 +113,17 @@ def checkpointed_write(
     epoch_glob = os.path.join(_data_dir(out_dir), "bucket=*", f"epoch={epoch}")
     try:
         written = spark.read.option("basePath", _data_dir(out_dir)).parquet(epoch_glob)
-    except Exception:  # no bucket matched (everything already manifested)
-        return {"epoch": epoch, "buckets_written": 0, "buckets_skipped": skipped, "rows": 0}
-    lineage_cols = lineage_cols or [c for c in df.columns if c != "doc_id"]
-    lineage_expr = F.xxhash64("doc_id", *[F.to_json(F.struct(c)) for c in lineage_cols])
+    except AnalysisException as e:
+        if _is_path_missing(e):  # no bucket matched: all already manifested
+            return {
+                "epoch": epoch,
+                "buckets_written": 0,
+                "buckets_skipped": skipped,
+                "rows": 0,
+            }
+        raise  # genuine read failure — caller must know no manifest landed
+    lineage_cols = lineage_cols or [c for c in df.columns if c != key_col]
+    lineage_expr = F.xxhash64(key_col, *[F.to_json(F.struct(c)) for c in lineage_cols])
     manifest = (
         written.groupBy("bucket")
         .agg(

@@ -175,6 +175,61 @@ def test_paged_invoices_honor_page_split(spark, synth_dfs):
     assert base.equals(paged)
 
 
+def test_ml_data_sink_scores_match_kernel(spark, synth_dfs):
+    """The invoice_ml_data projection (ml_enhanced_extractor.py:393-428)
+    computes its scores JVM-side; they must equal kernel/ml.py's Python
+    scoring functions applied to the same FIELDS values, and the
+    extracted_data blob must carry the reference's key set with doc_id as
+    the filename analogue and raw_text truncated."""
+    import json as _json
+
+    from ocr_spark.kernel import ml as kml
+    from ocr_spark.kernel.assemble import RAW_TEXT_LIMIT
+    from ocr_spark.operators.extract import build_pipeline
+
+    docs, media = synth_dfs
+    frames = build_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS, num_partitions=8
+    )
+    try:
+        fields = frames.fields.toPandas()
+        ml = frames.ml_data.toPandas()
+        assert len(ml) == len(fields)
+        assert ml["ml_id"].nunique() == len(ml)
+        assert (ml["processing_time"] == 0.0).all()
+        assert ml["raw_text"].str.len().max() <= RAW_TEXT_LIMIT
+        fields["_key"] = fields["doc_id"] + "|" + fields["offset"].astype(str)
+        by_doc_off = fields.set_index("_key")
+        import hashlib as _hl
+
+        for _, row in ml.iterrows():
+            blob = _json.loads(row["extracted_data"])
+            assert set(blob) == {
+                "extracted_data", "confidence_score", "processing_time",
+                "validation_score", "filename",
+            }
+            assert blob["filename"] == row["doc_id"]
+            f = by_doc_off.loc[
+                [k for k in by_doc_off.index
+                 if _hl.sha256(f"{k}|ml".encode()).hexdigest() == row["ml_id"]][0]
+            ]
+            ttc = float(f["total_ttc"]) if f["total_ttc"] is not None else None
+            ht = float(f["total_ht"]) if f["total_ht"] is not None else None
+            tva = float(f["tva"]) if f["tva"] is not None else None
+            inv_date = f["invoice_date"]
+            required, quality = kml.validation_score(
+                f["invoice_number"], ttc or None, f["supplier_name"], inv_date
+            )
+            assert row["validation_score"] == quality, (row["ml_id"], quality)
+            assert row["data_quality_score"] == quality
+            assert bool(row["ml_required_fields_present"]) == required
+            assert bool(row["ml_calculation_check"]) == kml.check_calculation_consistency(
+                ht, tva, ttc
+            )
+    finally:
+        frames.unpersist()
+
+
 def test_oversized_pdf_split_covered(synth_dfs):
     """The synth corpus must actually exercise the skew path."""
     _, media = synth_dfs

@@ -58,6 +58,136 @@ def test_orphan_epoch_files_are_invisible(spark, tmp_path):
     assert after == before  # orphans excluded
 
 
+def test_crash_between_spans_and_invoices_resumes_exactly_once(spark, tmp_path):
+    """VERDICT r02 #3: every flagship output rides the manifest protocol.
+    Simulated crash: the spans sink commits fully, the invoices sink never
+    runs.  The resumed run (same snapshot) skips every spans bucket and
+    writes the invoices table exactly once — no duplicate spans, complete
+    invoices, and the doc_id-less goals table buckets on invoice_id."""
+    from ocr_spark.corpus import COMPANIES, SUPPLIERS
+    from ocr_spark.operators.extract import build_pipeline
+    from ocr_spark.synth import synth_frames
+    from ocr_spark.schemas import MEDIA
+
+    docs_pd, media_pd = synth_frames(30)
+    docs = spark.createDataFrame(docs_pd, schema=DOCUMENTS)
+    media = spark.createDataFrame(
+        [(r["media_ref"], bytearray(r["payload"])) for _, r in media_pd.iterrows()],
+        schema=MEDIA,
+    )
+    spans_out, inv_out, goals_out = (
+        str(tmp_path / d) for d in ("spans", "invoices", "goals")
+    )
+    snapshot = "snap-1"
+
+    frames = build_pipeline(spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS)
+    s1 = manifests.checkpointed_write(
+        spark, frames.extracted_spans, spans_out, N_BUCKETS, snapshot
+    )
+    assert s1["buckets_written"] > 0
+    frames.unpersist()  # crash here: invoices/goals never written
+
+    # resumed run: fresh frames, same snapshot
+    frames2 = build_pipeline(spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS)
+    s2 = manifests.checkpointed_write(
+        spark, frames2.extracted_spans, spans_out, N_BUCKETS, snapshot
+    )
+    assert s2["rows"] == 0 and s2["buckets_skipped"] == s1["buckets_written"]
+    si = manifests.checkpointed_write(
+        spark, frames2.invoices, inv_out, N_BUCKETS, snapshot
+    )
+    sg = manifests.checkpointed_write(
+        spark, frames2.invoice_goals, goals_out, N_BUCKETS, snapshot,
+        key_col="invoice_id",
+    )
+    n_inv = frames2.invoices.count()
+    assert si["rows"] == n_inv
+    committed_inv = manifests.read_committed(spark, inv_out, snapshot)
+    assert committed_inv.select("invoice_id").distinct().count() == n_inv
+    assert manifests.read_committed(spark, goals_out, snapshot).count() == sg["rows"]
+    frames2.unpersist()
+
+    # a third submission is a full no-op for every table
+    frames3 = build_pipeline(spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS)
+    for frame, out, key in [
+        (frames3.extracted_spans, spans_out, "doc_id"),
+        (frames3.invoices, inv_out, "doc_id"),
+        (frames3.invoice_goals, goals_out, "invoice_id"),
+    ]:
+        s = manifests.checkpointed_write(
+            spark, frame, out, N_BUCKETS, snapshot, key_col=key
+        )
+        assert s["rows"] == 0, out
+    frames3.unpersist()
+
+
+def test_staged_pipeline_matches_persist_form_and_resumes(spark, tmp_path):
+    """--fields-staging form: identical outputs to the persist form, and a
+    killed run resumes the KERNEL at bucket granularity (only unmanifested
+    FIELDS buckets re-run)."""
+    from ocr_spark.corpus import COMPANIES, SUPPLIERS
+    from ocr_spark.operators.extract import build_pipeline, build_pipeline_staged
+    from ocr_spark.schemas import MEDIA
+    from ocr_spark.synth import synth_frames
+
+    docs_pd, media_pd = synth_frames(30)
+    docs = spark.createDataFrame(docs_pd, schema=DOCUMENTS)
+    media = spark.createDataFrame(
+        [(r["media_ref"], bytearray(r["payload"])) for _, r in media_pd.iterrows()],
+        schema=MEDIA,
+    )
+    staging = str(tmp_path / "fields_staging")
+
+    base = build_pipeline(spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS)
+    staged = build_pipeline_staged(
+        spark, docs, media, staging, "snap-1", n_buckets=N_BUCKETS,
+        companies=COMPANIES, suppliers=SUPPLIERS,
+    )
+    def _canon(df):
+        out = df.toPandas()
+        for c in ("state_validations", "document_urls"):
+            if c in out.columns:  # array cells: make them sortable/hashable
+                out[c] = out[c].map(tuple)
+        out = out.reindex(sorted(out.columns), axis=1)
+        return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+    for attr in ("invoices", "ml_data"):
+        assert _canon(getattr(base, attr)).equals(_canon(getattr(staged, attr))), attr
+    assert (
+        base.extracted_spans.count() == staged.extracted_spans.count()
+    )
+    base.unpersist()
+
+    # resume: re-running the staged build with the same snapshot skips every
+    # committed kernel bucket (rows == 0 from the inner checkpointed_write
+    # is observable via the manifests: bucket set unchanged)
+    m_before = manifests.read_manifests(spark, staging).count()
+    staged2 = build_pipeline_staged(
+        spark, docs, media, staging, "snap-1", n_buckets=N_BUCKETS,
+        companies=COMPANIES, suppliers=SUPPLIERS,
+    )
+    assert manifests.read_manifests(spark, staging).count() == m_before
+    assert staged2.invoices.count() == staged.invoices.count()
+
+    # partial (killed) first attempt: only buckets 0..3 of the kernel
+    # output were manifested (bucket = f(doc_id), so the filtered docs are
+    # exactly those buckets' full contents); the resume processes the full
+    # input, skips them, and the committed table is whole
+    staging2 = str(tmp_path / "fields_staging2")
+    partial_docs = (
+        manifests.with_bucket(docs, N_BUCKETS).filter(F.col("bucket") < 4).drop("bucket")
+    )
+    build_pipeline_staged(
+        spark, partial_docs, media, staging2, "snap-2", n_buckets=N_BUCKETS,
+        companies=COMPANIES, suppliers=SUPPLIERS,
+    ).extracted_spans.count()
+    full = build_pipeline_staged(
+        spark, docs, media, staging2, "snap-2", n_buckets=N_BUCKETS,
+        companies=COMPANIES, suppliers=SUPPLIERS,
+    )
+    assert full.extracted_spans.count() == docs.count()
+
+
 def test_manifest_metrics_present(spark, tmp_path):
     out = str(tmp_path / "out")
     manifests.checkpointed_write(spark, _docs(spark, 20), out, N_BUCKETS, "snap-1")

@@ -26,7 +26,11 @@ FIXTURES = REPO / "tests" / "fixtures"
 
 
 def main() -> None:
-    from ocr_spark.queries import q_extraction_pipeline, q_extraction_spans
+    from ocr_spark.queries import (
+        q_extraction_pipeline,
+        q_extraction_spans,
+        q_ml_training_data,
+    )
     from ocr_spark.session import get_spark
 
     spark = get_spark("gen_pipeline_golden", master="local[4]", shuffle_partitions=4)
@@ -34,6 +38,7 @@ def main() -> None:
         for name, fn, order in [
             ("extraction_pipeline", q_extraction_pipeline, "invoice_id"),
             ("extraction_spans", q_extraction_spans, "doc_id"),
+            ("ml_training_data", q_ml_training_data, "ml_id"),
         ]:
             out = fn(spark, sf_dir="unused")
             with tempfile.TemporaryDirectory() as tmp:
