@@ -123,6 +123,116 @@ def parse_pages(payload: bytes) -> list[tuple[int, str]]:
     return out
 
 
+# Synthetic word-geometry convention for SPDF/FAKEIMG payloads (a real
+# OCR backend supplies true pixel boxes through the words seam below):
+# monospace CHAR_W per character, LINE_H tall lines.
+CHAR_W = 8.0
+LINE_H = 16.0
+WORD_LEVEL = 5  # tesseract hierarchy level for words (ocr_engine.py:174)
+
+WORDS_BACKEND_PROP = "ocr_spark.words_backend"
+WORDS_BACKEND_ENV = "OCR_SPARK_WORDS_BACKEND"
+
+
+def _word_conf(word: str) -> float:
+    """Deterministic stand-in for the tesseract per-word confidence
+    (data['conf'] — src/ocr/ocr_engine.py:165-168): md5-derived in
+    [0.50, 0.99] so the reference's threshold gate stays exercisable."""
+    import hashlib
+
+    h = int(hashlib.md5(word.lower().encode()).hexdigest()[:4], 16)
+    return 0.5 + (h % 50) / 100.0
+
+
+def _run_words(text: str, run_x: float, y: float, line_id: int, page_no: int,
+               word_no_start: int) -> list[dict]:
+    """Split one text run into word rows with monospace char geometry:
+    bbox = (x0, top, x1, bottom) like the reference's
+    (left, top, left+width, top+height) tuple (ocr_engine.py:169-175)."""
+    import re
+
+    rows = []
+    for i, m in enumerate(re.finditer(r"\S+", text)):
+        rows.append(
+            {
+                "page_no": page_no,
+                "line_id": line_id,
+                "word_no": word_no_start + i,
+                "word": m.group(0),
+                "conf": _word_conf(m.group(0)),
+                "x0": run_x + CHAR_W * m.start(),
+                "y0": y,
+                "x1": run_x + CHAR_W * m.end(),
+                "y1": y + LINE_H,
+                "level": WORD_LEVEL,
+            }
+        )
+    return rows
+
+
+def parse_words(payload: bytes) -> list[dict]:
+    """SPDF payload → word rows in reading order, reproducing the
+    reference's structured OCR output (OCRResult.word_confidences /
+    bounding_boxes and the words/lines dict of extract_structured_data —
+    src/ocr/ocr_engine.py:18-24,154-191): one row per word with a
+    deterministic confidence, a bbox, the tesseract word level, and the
+    AR1 line grouping (line_id = index of the line in reading order).
+
+    Reading order is EXACTLY parse_pages' (same line grouping and sort),
+    so ``' '.join(words of a line)`` reassembles the page text lines.
+    Non-SPDF payloads dispatch to a pluggable words backend
+    (``module:function`` → list of word dicts) via the seam props, like
+    parse_pages' text backend.
+    """
+    if not payload or not payload.startswith(MAGIC):
+        backend = resolve_backend(WORDS_BACKEND_PROP, WORDS_BACKEND_ENV)
+        if backend is not None:
+            return list(backend(payload))
+        raise NotImplementedError(
+            "non-SPDF payload: register a real words backend (tesseract "
+            f"image_to_data) via {WORDS_BACKEND_PROP} / ${WORDS_BACKEND_ENV}"
+        )
+    pages: dict[int, list[tuple[float, float, str]]] = {}
+    current = 0
+    for raw in payload.decode("utf-8").splitlines()[1:]:
+        if raw.startswith("PAGE "):
+            current = int(raw[5:])
+            pages.setdefault(current, [])
+        elif raw.startswith("RUN "):
+            x_s, y_s, text = raw[4:].split(" ", 2)
+            pages.setdefault(current, []).append((float(x_s), float(y_s), _unescape(text)))
+
+    out: list[dict] = []
+    for page_no in sorted(pages):
+        runs = sorted(pages[page_no], key=lambda r: (-r[1], r[0]))
+        lines: list[list[tuple[float, float, str]]] = []
+        for run in runs:
+            if lines and abs(lines[-1][0][1] - run[1]) <= LINE_Y_TOLERANCE:
+                lines[-1].append(run)
+            else:
+                lines.append([run])
+        word_no = 0
+        for line_id, line in enumerate(lines):
+            for x, y, text in line:
+                rows = _run_words(text, x, y, line_id, page_no, word_no)
+                word_no += len(rows)
+                out.extend(rows)
+    return out
+
+
+def words_from_text(text: str) -> list[dict]:
+    """Word rows for plain OCR'd text (the FAKEIMG image-stub path): each
+    text line becomes one synthetic-geometry line at y = -line_idx·LINE_H
+    (reading order preserved under the descending-y sort convention)."""
+    out: list[dict] = []
+    word_no = 0
+    for line_id, line in enumerate((text or "").splitlines()):
+        rows = _run_words(line, 0.0, -line_id * LINE_H, line_id, 1, word_no)
+        word_no += len(rows)
+        out.extend(rows)
+    return out
+
+
 def page_count(payload: bytes) -> int:
     """Number of pages without materializing page text (cf. the reference's
     get_page_count, which re-rasterizes the whole file just to count —

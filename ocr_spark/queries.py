@@ -1555,9 +1555,7 @@ SQL_EXTRACTION_SPANS = (
 )
 
 
-def _pipeline_frames(spark):
-    from ocr_spark.corpus import COMPANIES, SUPPLIERS
-    from ocr_spark.operators.extract import build_pipeline
+def _synth_docs_media(spark):
     from ocr_spark.schemas import DOCUMENTS, MEDIA
     from ocr_spark.synth import synth_frames
 
@@ -1567,6 +1565,14 @@ def _pipeline_frames(spark):
         [(r["media_ref"], bytearray(r["payload"])) for _, r in media_pd.iterrows()],
         schema=MEDIA,
     )
+    return docs, media
+
+
+def _pipeline_frames(spark):
+    from ocr_spark.corpus import COMPANIES, SUPPLIERS
+    from ocr_spark.operators.extract import build_pipeline
+
+    docs, media = _synth_docs_media(spark)
     return build_pipeline(spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS)
 
 
@@ -1595,6 +1601,48 @@ def q_ml_training_data(spark, sf_dir):
     other flagship outputs (no extra kernel execution), golden-pinned
     like extraction_pipeline."""
     return _pipeline_frames(spark).ml_data
+
+
+_OCR_WORDS_GOLDEN = f"{_FIXTURES_DIR}/ocr_words_golden.parquet"
+SQL_OCR_WORDS = f"SELECT * FROM '{_OCR_WORDS_GOLDEN}'"
+
+# A TRUE SQL twin layered on the pinned words table: DuckDB recomputes
+# the A1-style aggregation from the golden while Spark aggregates the
+# live operator output — any drift in either the word extraction or the
+# aggregation shows as a hash mismatch.
+SQL_OCR_WORD_CONFIDENCE = f"""
+SELECT doc_id, media_ref,
+       {{fix4}} AS mean_conf, count(*) AS n_words
+FROM '{_OCR_WORDS_GOLDEN}'
+WHERE conf > 0.5
+GROUP BY doc_id, media_ref
+""".format(fix4=_SQL_FIX4.format(x="avg(conf)"))
+
+
+def q_ocr_words(spark, sf_dir):
+    """Word-level structured OCR table (OCRResult / AR1 —
+    ocr_engine.py:154-191): one row per word with confidence, bbox,
+    level, line_id, from the media payloads of the synthesized
+    interleaved corpus; golden-pinned (Python kernel — no SQL twin can
+    recompute the layout parse)."""
+    from ocr_spark.operators.extract import attach_payloads, explode_spans
+    from ocr_spark.operators.words import ocr_words
+
+    docs, media = _synth_docs_media(spark)
+    return ocr_words(attach_payloads(explode_spans(docs), media))
+
+
+def q_ocr_word_confidence(spark, sf_dir):
+    """A1 over the REAL words table (mean confidence of words above the
+    reference's threshold gate, per document/media payload) — the
+    word_confidence query's semantics reading actual OCR output instead
+    of synthetic words."""
+    out = q_ocr_words(spark, sf_dir)
+    return (
+        out.filter(F.col("conf") > 0.5)
+        .groupBy("doc_id", "media_ref")
+        .agg(fix4(F.avg("conf")).alias("mean_conf"), F.count(F.lit(1)).alias("n_words"))
+    )
 
 
 def q_extraction_spans(spark, sf_dir):
@@ -1749,6 +1797,8 @@ CATALOG: dict[str, tuple] = {
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
     "extraction_spans": (q_extraction_spans, SQL_EXTRACTION_SPANS),
     "ml_training_data": (q_ml_training_data, SQL_ML_TRAINING_DATA),
+    "ocr_words": (q_ocr_words, SQL_OCR_WORDS),
+    "ocr_word_confidence": (q_ocr_word_confidence, SQL_OCR_WORD_CONFIDENCE),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),

@@ -30,20 +30,22 @@ def main() -> None:
         q_extraction_pipeline,
         q_extraction_spans,
         q_ml_training_data,
+        q_ocr_words,
     )
     from ocr_spark.session import get_spark
 
     spark = get_spark("gen_pipeline_golden", master="local[4]", shuffle_partitions=4)
     try:
         for name, fn, order in [
-            ("extraction_pipeline", q_extraction_pipeline, "invoice_id"),
-            ("extraction_spans", q_extraction_spans, "doc_id"),
-            ("ml_training_data", q_ml_training_data, "ml_id"),
+            ("extraction_pipeline", q_extraction_pipeline, ["invoice_id"]),
+            ("extraction_spans", q_extraction_spans, ["doc_id"]),
+            ("ml_training_data", q_ml_training_data, ["ml_id"]),
+            ("ocr_words", q_ocr_words, ["doc_id", "media_ref", "offset", "page_no", "word_no"]),
         ]:
             out = fn(spark, sf_dir="unused")
             with tempfile.TemporaryDirectory() as tmp:
                 # single file, sorted — byte-stable regeneration
-                out.orderBy(order).coalesce(1).write.mode("overwrite").parquet(tmp + "/g")
+                out.orderBy(*order).coalesce(1).write.mode("overwrite").parquet(tmp + "/g")
                 part = next(Path(tmp, "g").glob("part-*.parquet"))
                 dest = FIXTURES / f"{name}_golden.parquet"
                 dest.parent.mkdir(parents=True, exist_ok=True)
