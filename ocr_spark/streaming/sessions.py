@@ -27,11 +27,30 @@ OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
 STATE_SCHEMA = "last_ts double, n_sessions bigint, n_events bigint"
 
 
-def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    state_ttl_seconds: int | None = None,
+) -> DataFrame:
     """Streaming DataFrame of running per-user session/event totals (one
-    updated row per user per micro-batch that saw the user)."""
+    updated row per user per micro-batch that saw the user).
+
+    ``state_ttl_seconds`` bounds the state store (ADVICE r02): idle
+    users' state expires after that much processing time without new
+    events, so a perpetual stream with a growing user population holds
+    O(active users) state instead of O(all users ever) — the same
+    bounded-state option dedup_stream exposes via its watermark.  An
+    expired user who returns restarts their counters (semantically: any
+    gap longer than the TTL is certainly > gap_seconds, so a NEW session
+    begins either way; only the lifetime totals reset — the documented
+    trade).  None keeps the unbounded exact form.
+    """
+    ttl = state_ttl_seconds
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if ttl is not None and state.hasTimedOut:
+            state.remove()  # idle user: drop state, emit nothing
+            return
         if state.exists:
             last_ts, n_sessions, n_events = state.get
         else:
@@ -46,6 +65,8 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 last_ts = t
                 n_events += 1
         state.update((last_ts, n_sessions, n_events))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl * 1000)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -59,5 +80,9 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

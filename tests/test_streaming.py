@@ -188,3 +188,71 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
     run_stream(*args, **kw)  # restart from the same checkpoint: no new files
     n2 = read_committed(spark, out).count()
     assert n1 == n2 == 20
+
+
+def test_sessionize_state_ttl_expires_idle_users(spark, tmp_path):
+    """ADVICE r02: sessionize_stream(state_ttl_seconds=...) must bound the
+    state store — an idle user's state expires (ProcessingTimeTimeout;
+    the engine schedules expiry batches on its own while the query runs)
+    and a later return restarts their counters, while an active user's
+    state survives.  The sink dict is polled: under processing-time
+    timeouts the engine re-batches continuously, so neither availableNow
+    nor processAllAvailable ever reports idle."""
+    import pathlib
+    import time
+
+    import pandas as pd
+
+    from ocr_spark.streaming.sessions import sessionize_stream
+
+    stream_dir = str(tmp_path / "ev")
+    pathlib.Path(stream_dir).mkdir()
+    schema = "user_id bigint, ts timestamp, event_id bigint"
+
+    def write_phase(i: int, rows):
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts", "event_id"]), schema
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{stream_dir}/part={i}")
+
+    def wait_for(pred, secs=90):
+        deadline = time.monotonic() + secs
+        while time.monotonic() < deadline:
+            if pred():
+                return True
+            time.sleep(0.2)
+        return False
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    latest: dict[int, tuple[int, int]] = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["n_sessions"], r["n_events"])
+
+    write_phase(0, [(1, t0, 1), (1, t0 + pd.Timedelta(hours=1), 2),
+                    (2, t0, 3), (2, t0 + pd.Timedelta(hours=1), 4)])
+    src = spark.readStream.schema(schema).parquet(stream_dir + "/part=*")
+    q = (
+        sessionize_stream(src, state_ttl_seconds=10)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        assert wait_for(lambda: latest.get(1) == (2, 2) and latest.get(2) == (2, 2)), latest
+
+        # user 1 comes back WITHIN the TTL: state must have survived
+        time.sleep(4)
+        write_phase(1, [(1, t0 + pd.Timedelta(hours=2), 5)])
+        assert wait_for(lambda: latest.get(1) == (3, 3)), latest
+
+        # user 2 has now idled well past the TTL (engine-scheduled expiry
+        # batches drop its state); its return restarts counters from zero
+        time.sleep(15)
+        write_phase(2, [(2, t0 + pd.Timedelta(hours=3), 6)])
+        assert wait_for(lambda: latest.get(2) == (1, 1)), (
+            latest, "expired state must not resume old totals")
+    finally:
+        q.stop()
