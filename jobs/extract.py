@@ -82,6 +82,9 @@ def main() -> None:
         suppliers=SUPPLIERS,
         salt=args.salt,
         page_split_bytes=args.page_split_bytes,
+        # raw_text doubles the FIELDS payload; only materialize it when
+        # the ML-data output will be written
+        with_raw_text=bool(args.ml_data_out),
     )
     if args.fields_staging:
         frames = build_pipeline_staged(

@@ -172,8 +172,16 @@ def fields_batch(
     as_of_date: date = DEFAULT_AS_OF,
     companies: list[dict] | None = None,
     suppliers: list[dict] | None = None,
+    emit_raw_text: bool = True,
 ) -> pd.DataFrame:
-    """Resolved span rows → FIELDS_COLUMNS rows (merge lattice applied)."""
+    """Resolved span rows → FIELDS_COLUMNS rows (merge lattice applied).
+
+    ``emit_raw_text=False`` leaves the raw_text column null: the column
+    roughly doubles the FIELDS row payload (it duplicates the span text
+    beside norm_text), and shipping+persisting it measurably throttles
+    the flagship at high parallelism (memory bandwidth) — so the
+    pipeline only materializes it when an ML-data consumer asked.
+    """
     if len(resolved) == 0:
         return pd.DataFrame(columns=FIELDS_COLUMNS)
     contents = resolved["content"].reset_index(drop=True)
@@ -265,7 +273,11 @@ def fields_batch(
                 "phone": cols["l_phone"][i],
                 "line_items": items_json,
                 "confidence": float(cols["b_conf"][i]),
-                "raw_text": (cols["content"][i] or "")[:RAW_TEXT_LIMIT],
+                "raw_text": (
+                    (cols["content"][i] or "")[:RAW_TEXT_LIMIT]
+                    if emit_raw_text
+                    else None
+                ),
             }
         )
     return pd.DataFrame.from_records(rows, columns=FIELDS_COLUMNS)

@@ -552,6 +552,124 @@ def near_dup_pairs(
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = min doc_id of the component.
+
+    Pair operators (minhash/simhash/winnow) emit EDGES; deduplication
+    needs COMPONENTS (keep one representative per transitive group: a~b,
+    b~c ⇒ {a,b,c} even when a,c never collide).  Alternating-star label
+    propagation (the map-reduce connected-components construction of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round every node adopts the minimum label in its
+    neighborhood, edges re-key to the new labels, and duplicate edges
+    collapse — component diameter halves per round, so convergence is
+    O(log D) rounds (near-dup clusters are dense; real corpora converge
+    in 2-4).  Each iteration is one keyed aggregate + join, checkpointed
+    eagerly so the lineage never grows; the driver holds only a
+    one-row convergence count per round, never the edge set.
+
+    ``max_iters`` bounds the loop; hitting it raises rather than
+    returning silently-unmerged clusters.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # label(node) = min neighbor (incl. self) — symmetric closure
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # re-key edges to current labels; self-loops vanish, dupes collapse
+        e = (
+            edges.join(labels.withColumnRenamed("node", "src"), on="src")
+            .withColumnRenamed("label", "ls")
+            .join(labels.withColumnRenamed("node", "dst"), on="dst")
+            .withColumnRenamed("label", "ld")
+            .select(
+                F.least("ls", "ld").alias("src"), F.greatest("ls", "ld").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():  # every component collapsed to one label
+            break
+        # propagate: each label adopts the min label it touches
+        lsym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        relabel = (
+            lsym.groupBy("src")
+            .agg(F.least(F.min("dst"), F.col("src")).alias("new_label"))
+            .withColumnRenamed("src", "label")
+        )
+        # no broadcast hint: relabel shrinks geometrically but is O(labels)
+        # in the worst round — the checkpointed frames carry exact sizes,
+        # so AQE picks broadcast exactly when it is safe
+        labels = (
+            labels.join(relabel, on="label", how="left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        edges = e
+    else:
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iters} iterations")
+    # Pointer jumping: nodes whose label dropped out of the active edge
+    # set may hold a STALE label whose own chain kept contracting (lab(x)
+    # = y while lab(y) already = root) — labels are node ids, so resolve
+    # chains by joining labels onto itself until lab(lab(x)) == lab(x);
+    # each jump halves chain depth (O(log D) rounds).
+    for _ in range(max_iters + 1):
+        parents = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("parent")
+        )
+        jumped = (
+            labels.join(parents, on="label", how="left")
+            .select("node", F.coalesce("parent", "label").alias("new_label"),
+                    F.col("label").alias("old_label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter(F.col("new_label") != F.col("old_label"))
+        labels = jumped.select("node", F.col("new_label").alias("label"))
+        if changed.isEmpty():
+            break
+    else:
+        raise RuntimeError(f"dedup_clusters label chains unresolved in {max_iters} jumps")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def near_dup_keep_one(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup deduplication: keep the minimum doc_id of each
+    connected component of ``pairs``; docs in no pair survive untouched.
+    The losers set (pairs reach only dup-involved docs) is tiny next to
+    the corpus, so the filter is a broadcast anti-join — the corpus never
+    shuffles."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return documents.join(
+        F.broadcast(losers.withColumnRenamed("doc_id", id_col)),
+        on=id_col,
+        how="left_anti",
+    )
+
+
 def simhash64_py(text: str | None) -> int:
     """Scalar SimHash spec (signed 64-bit): per whitespace token,
     h = big-endian first 8 bytes of md5; bit b of the output is set when

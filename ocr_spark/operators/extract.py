@@ -157,19 +157,24 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> Dat
 
 
 def _fields_map(
-    it: Iterator[pd.DataFrame], as_of: date, companies: list[dict], suppliers: list[dict]
+    it: Iterator[pd.DataFrame], as_of: date, companies: list[dict],
+    suppliers: list[dict], emit_raw_text: bool = False,
 ) -> Iterator[pd.DataFrame]:
     for batch in it:
         yield assemble.fields_batch(
-            assemble.resolve_batch(batch), as_of, companies, suppliers
+            assemble.resolve_batch(batch), as_of, companies, suppliers,
+            emit_raw_text=emit_raw_text,
         )
 
 
 def _fields_map_resolved(
-    it: Iterator[pd.DataFrame], as_of: date, companies: list[dict], suppliers: list[dict]
+    it: Iterator[pd.DataFrame], as_of: date, companies: list[dict],
+    suppliers: list[dict], emit_raw_text: bool = False,
 ) -> Iterator[pd.DataFrame]:
     for batch in it:
-        yield assemble.fields_batch(batch, as_of, companies, suppliers)
+        yield assemble.fields_batch(
+            batch, as_of, companies, suppliers, emit_raw_text=emit_raw_text
+        )
 
 
 def _split_pages_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,6 +209,7 @@ def extract_fields(
     as_of: date = assemble.DEFAULT_AS_OF,
     companies: list[dict] | None = None,
     suppliers: list[dict] | None = None,
+    with_raw_text: bool = False,
 ) -> DataFrame:
     """Span rows (+payload) → one FIELDS row per span, single-pass.
 
@@ -222,6 +228,7 @@ def extract_fields(
             as_of=as_of,
             companies=companies or [],
             suppliers=suppliers or [],
+            emit_raw_text=with_raw_text,
         ),
         schema=FIELDS_ROW_SCHEMA,
     )
@@ -309,6 +316,7 @@ def extract_fields_paged(
     suppliers: list[dict] | None = None,
     oversize_bytes: int = OVERSIZE_PAYLOAD_BYTES,
     num_partitions: int | None = None,
+    with_raw_text: bool = False,
 ) -> DataFrame:
     """FIELDS rows with the oversized-PDF page-split skew path (the FIELDS
     twin of extract_spans_paged): oversized payloads split into page rows,
@@ -323,7 +331,8 @@ def extract_fields_paged(
         )
     small, big = _split_small_big(spans_with_payload, oversize_bytes)
     small_fields = small.mapInPandas(
-        partial(_fields_map, as_of=as_of, companies=companies, suppliers=suppliers),
+        partial(_fields_map, as_of=as_of, companies=companies,
+                suppliers=suppliers, emit_raw_text=with_raw_text),
         schema=FIELDS_ROW_SCHEMA,
     )
     big_resolved = (
@@ -333,7 +342,8 @@ def extract_fields_paged(
         .applyInPandas(assemble.reassemble_pages, schema=_RESOLVED_SCHEMA)
     )
     big_fields = big_resolved.mapInPandas(
-        partial(_fields_map_resolved, as_of=as_of, companies=companies, suppliers=suppliers),
+        partial(_fields_map_resolved, as_of=as_of, companies=companies,
+                suppliers=suppliers, emit_raw_text=with_raw_text),
         schema=FIELDS_ROW_SCHEMA,
     )
     return small_fields.unionByName(big_fields)
@@ -486,6 +496,11 @@ def ml_data_from_fields(fields_rows: DataFrame) -> DataFrame:
 
     ``processing_time`` is determinized to 0.0 (wall-clock in the
     reference — same policy as uuid4 → sha2, FIXTURES.md §5).
+
+    ``raw_text`` is only populated when the pipeline was built with
+    ``with_raw_text=True`` (build_pipeline default is False — the column
+    doubles the FIELDS payload); jobs/extract.py sets it automatically
+    when ``--ml-data-out`` is given.
     """
     ht = F.col("total_ht").cast("double")
     tva = F.col("tva").cast("double")
@@ -565,8 +580,15 @@ def build_pipeline(
     num_partitions: int | None = None,
     salt: int = 0,
     page_split_bytes: int | None = None,
+    with_raw_text: bool = False,
 ) -> PipelineFrames:
     """documents/media → shared-FIELDS dataflow (spans + invoices).
+
+    ``with_raw_text=False`` (default) leaves FIELDS.raw_text null — the
+    column doubles the shipped/persisted row payload and measurably
+    throttles high-parallelism runs; pass True when the ml_data output
+    will be materialized (jobs/extract.py does this automatically for
+    --ml-data-out).
 
     Round 1 built the spans output from one kernel execution and the
     invoices output from an INDEPENDENT second execution over the same
@@ -581,7 +603,7 @@ def build_pipeline(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     fields = _fields_dataflow(
         documents, media, as_of, companies, suppliers, num_partitions, salt,
-        page_split_bytes,
+        page_split_bytes, with_raw_text,
     )
     from pyspark import StorageLevel
 
@@ -598,6 +620,7 @@ def _fields_dataflow(
     num_partitions: int,
     salt: int,
     page_split_bytes: int | None,
+    with_raw_text: bool = False,
 ) -> DataFrame:
     """The shared FIELDS-producing prelude: explode → payload attach →
     salted repartition → (paged) kernel."""
@@ -605,7 +628,7 @@ def _fields_dataflow(
     rows = attach_payloads(rows, media)
     rows = salted_repartition(rows, num_partitions, salt)
     if page_split_bytes is None:
-        return extract_fields(rows, as_of, companies, suppliers)
+        return extract_fields(rows, as_of, companies, suppliers, with_raw_text)
     return extract_fields_paged(
         rows,
         as_of,
@@ -613,6 +636,7 @@ def _fields_dataflow(
         suppliers,
         oversize_bytes=page_split_bytes,
         num_partitions=num_partitions,
+        with_raw_text=with_raw_text,
     )
 
 
@@ -640,6 +664,7 @@ def build_pipeline_staged(
     num_partitions: int | None = None,
     salt: int = 0,
     page_split_bytes: int | None = None,
+    with_raw_text: bool = False,
 ) -> PipelineFrames:
     """build_pipeline with the FIELDS frame written to a parquet STAGING
     TABLE through the manifest-checkpointed sink instead of executor-
@@ -660,7 +685,7 @@ def build_pipeline_staged(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     fields = _fields_dataflow(
         documents, media, as_of, companies, suppliers, num_partitions, salt,
-        page_split_bytes,
+        page_split_bytes, with_raw_text,
     )
     checkpointed_write(
         spark, fields, staging_dir, n_buckets=n_buckets, input_snapshot=input_snapshot

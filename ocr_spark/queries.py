@@ -1303,6 +1303,58 @@ WHERE {jac} >= 0.5
 SQL_MINHASH_LSH_PAIRS = _sql_lsh_pairs()
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the minhash near-dup pairs → one
+    (doc_id, cluster_id) row per pair-involved doc (alternating-star
+    label propagation; cluster_id = min doc_id of the component)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5, max_bucket=LSH_MAX_BUCKET)
+    return dedup.dedup_clusters(pairs)
+
+
+def q_near_dup_keep_one(spark, sf_dir):
+    """End-to-end near-dup dedup: doc_ids surviving after keeping the min
+    doc_id per connected component (the corpus-side broadcast anti-join
+    form)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5, max_bucket=LSH_MAX_BUCKET)
+    return dedup.near_dup_keep_one(docs, pairs).select("doc_id")
+
+
+# The DuckDB twin recomputes the SAME pair set (the full minhash SQL as a
+# nested CTE) and finds components with a recursive transitive-closure
+# CTE + min-label aggregate — an independent algorithm (BFS closure vs
+# alternating-star), so a hash match proves the clustering itself, not
+# just a shared implementation.
+_SQL_CLUSTERS_CTE = f"""
+WITH RECURSIVE pairs AS ({_sql_lsh_pairs()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS m FROM nodes
+  UNION
+  SELECT r.node, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
+)
+"""
+
+SQL_NEAR_DUP_CLUSTERS = (
+    _SQL_CLUSTERS_CTE
+    + "SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node"
+)
+
+SQL_NEAR_DUP_KEEP_ONE = (
+    _SQL_CLUSTERS_CTE
+    + """SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT node FROM reach GROUP BY node HAVING min(m) <> node
+)"""
+)
+
+
 def q_embed_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id < 10."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1568,12 +1620,15 @@ def _synth_docs_media(spark):
     return docs, media
 
 
-def _pipeline_frames(spark):
+def _pipeline_frames(spark, with_raw_text: bool = False):
     from ocr_spark.corpus import COMPANIES, SUPPLIERS
     from ocr_spark.operators.extract import build_pipeline
 
     docs, media = _synth_docs_media(spark)
-    return build_pipeline(spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS)
+    return build_pipeline(
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS,
+        with_raw_text=with_raw_text,
+    )
 
 
 def q_extraction_pipeline(spark, sf_dir):
@@ -1600,7 +1655,7 @@ def q_ml_training_data(spark, sf_dir):
     validation scores — derived from the SAME shared FIELDS pass as the
     other flagship outputs (no extra kernel execution), golden-pinned
     like extraction_pipeline."""
-    return _pipeline_frames(spark).ml_data
+    return _pipeline_frames(spark, with_raw_text=True).ml_data
 
 
 _OCR_WORDS_GOLDEN = f"{_FIXTURES_DIR}/ocr_words_golden.parquet"
@@ -1787,6 +1842,8 @@ CATALOG: dict[str, tuple] = {
     "winnow_match_pairs": (q_winnow_match_pairs, SQL_WINNOW_MATCH_PAIRS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
+    "near_dup_keep_one": (q_near_dup_keep_one, SQL_NEAR_DUP_KEEP_ONE),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),

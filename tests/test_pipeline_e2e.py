@@ -189,7 +189,8 @@ def test_ml_data_sink_scores_match_kernel(spark, synth_dfs):
 
     docs, media = synth_dfs
     frames = build_pipeline(
-        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS, num_partitions=8
+        spark, docs, media, companies=COMPANIES, suppliers=SUPPLIERS,
+        num_partitions=8, with_raw_text=True,
     )
     try:
         fields = frames.fields.toPandas()
