@@ -1,0 +1,243 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The missing pieces between "a table of documents" and "a training set":
+
+* benchmark decontamination — flag/drop training docs that share word
+  n-grams with a held-out eval set (the GPT-3/PaLM-style 8-gram overlap
+  rule), as a broadcast join over md5'd n-grams;
+* PII detection + redaction — alternation-free regex family (email,
+  IBAN, payment card, phone) chosen to behave identically under Java
+  regex (Spark) and RE2 (DuckDB), so the oracle can replay it;
+* deterministic stratified sampling — per-group keep rates decided by a
+  salted md5 of the doc id compared lexicographically against a
+  fixed-width hex threshold (no RNG, no engine-specific hash — the same
+  row survives in any engine, any run, any partitioning);
+* the composed end-to-end curation pipeline: quality filter → exact
+  dedup → near-dup keep-one → decontamination.
+
+Everything is built-in column functions (whole-stage codegen); the only
+shuffles are the keyed groupBys/joins each step genuinely needs, and
+every dimension-sized side (benchmark n-grams, contaminated-id set) is
+broadcast so the corpus never reshuffles for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup
+from ocr_spark.operators.textstats import with_textstats
+
+DEFAULT_NGRAM = 8  # word n-gram width for decontamination
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+
+def word_ngram_hashes(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    out_col: str = "gram",
+) -> DataFrame:
+    """Distinct md5'd word n-grams per document: one (id, gram) row each.
+
+    Staged projections (norm → words → grams) keep every expression out
+    of the HOF lambdas — an inline normalization would be re-evaluated
+    once per emitted array element (the measured 10× shingle trap).
+    Hashing each gram to md5 hex makes the join key fixed-width (32 B)
+    regardless of n, so the broadcast hash table and the exploded
+    corpus-side rows stay small. Docs with < n words emit nothing.
+    """
+    words = documents.select(
+        id_col, dedup.normalized(F.col(text_col)).alias("_norm")
+    ).select(id_col, F.split(F.col("_norm"), " ").alias("_w"))
+    grams = words.select(
+        id_col,
+        F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_g"),
+    )
+    return grams.select(id_col, F.explode(F.array_distinct("_g")).alias(out_col))
+
+
+def contamination_pairs(
+    documents: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared): distinct word n-grams each training
+    doc shares with each benchmark item.
+
+    Scale shape: the benchmark side is eval-set-sized (thousands of
+    rows) → its gram table broadcasts; the corpus side explodes to one
+    row per (doc, distinct gram) but the broadcast inner join drops
+    non-matching grams map-side, so the only shuffle is the partial-agg
+    count on the (rare) hits. No corpus-vs-corpus join anywhere.
+    """
+    dg = word_ngram_hashes(documents, text_col, n, id_col)
+    bg = word_ngram_hashes(bench, text_col, n, bench_id_col)
+    return (
+        dg.join(F.broadcast(bg), on="gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Drop every training doc sharing ≥ min_hits word n-grams with any
+    benchmark item. The contaminated-id set is bounded by (docs that
+    textually overlap the eval set) — tiny next to the corpus — so the
+    final filter is a broadcast anti-join; the corpus never shuffles."""
+    bad = (
+        contamination_pairs(documents, bench, n, text_col, id_col, bench_id_col)
+        .filter(F.col("n_shared") >= min_hits)
+        .select(id_col)
+        .distinct()
+    )
+    return documents.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# Alternation-free, backtracking-free patterns: Java regex (leftmost-first)
+# and RE2 (leftmost-longest) agree on greedy character-class repetition but
+# NOT on alternation, so each PII type is a single alternative. Redaction
+# order matters and is fixed: email → IBAN → card → phone (an IBAN's digit
+# tail must not be half-eaten by the card/phone patterns first).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "iban": r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b",
+    "card": r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
+    "phone": r"\+[0-9][0-9 ()./-]{6,}[0-9]",
+}
+PII_ORDER = ("email", "iban", "card", "phone")
+
+
+def pii_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts (one JVM regexp_count per type) + flag."""
+    counts = {
+        f"n_{k}": F.regexp_count(F.col(text_col), F.lit(p)).cast("long")
+        for k, p in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return documents.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        (total > 0).alias("has_pii"),
+    )
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder ([EMAIL], [IBAN],
+    [CARD], [PHONE]) in the fixed order above. Pure regexp_replace chain
+    — codegen'd, zero Python, and byte-reproducible in the oracle."""
+    red: Column = F.col(text_col)
+    for k in PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    return documents.select("doc_id", red.alias("text_redacted"))
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+
+def _rate_threshold(rate: float) -> str:
+    """Fixed-width hex threshold for lexicographic compare against the
+    first 8 md5 hex chars ('g' sorts above every hex digit → keep-all)."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "0" * 8
+    return format(int(rate * 16**8), "08x")
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its group's probability, decided by
+    substr(md5(salt ':' id), 1, 8) < hex(rate · 16⁸).
+
+    Deterministic and engine-portable: the hex-prefix compare is a
+    uniform [0,1) draw keyed only on (salt, id) — the same rows survive
+    under any partitioning, any engine, any rerun, which is what a
+    reproducible data-mixing recipe needs. Pure map-side filter: no
+    shuffle, no RNG state, pushdown-friendly upstream.
+    """
+    draw = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    thr: Column = F.lit(_rate_threshold(default_rate))
+    for group, rate in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == group, F.lit(_rate_threshold(rate))).otherwise(thr)
+    return documents.filter(draw < thr)
+
+
+# --------------------------------------------------------------------------
+# composed curation pipeline
+# --------------------------------------------------------------------------
+
+
+def curate_corpus(
+    documents: DataFrame,
+    bench: DataFrame,
+    quality_min: float = 0.4,
+    near_dup_threshold: float = 0.5,
+    max_bucket: int | None = None,
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """The end-to-end training-set curation chain over a documents table:
+
+    1. quality gate  (with_textstats quality ≥ quality_min — JVM filter)
+    2. exact dedup   (min doc_id per canonical fingerprint)
+    3. near-dup      (MinHash+LSH pairs → connected components → keep
+                      min doc_id per component)
+    4. decontaminate (drop docs sharing ≥1 word n-gram with the bench)
+
+    Ordered cheapest-first so each stage shrinks the next stage's input
+    (the exact-dedup-before-LSH ordering is also what keeps hot LSH
+    buckets small on templated corpora). Returns the surviving rows.
+    """
+    ts = with_textstats(documents)
+    good = documents.join(
+        ts.filter(F.col("quality") >= quality_min).select("doc_id"),
+        on="doc_id",
+        how="left_semi",
+    )
+    d1 = dedup.exact_dedup(good)
+    pairs = dedup.near_dup_pairs(
+        d1, threshold=near_dup_threshold, max_bucket=max_bucket
+    )
+    d2 = dedup.near_dup_keep_one(d1, pairs)
+    return decontaminate(d2, bench, n=n)

@@ -23,7 +23,7 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocr_spark.operators import dedup, enrich, similarity, textstats
+from ocr_spark.operators import curation, dedup, enrich, similarity, textstats
 from ocr_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -1242,7 +1242,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     ).select("doc_a", "doc_b", fix6(F.col("jaccard")).alias("jaccard"))
 
 
-def _sql_lsh_pairs(max_bucket: int | None = LSH_MAX_BUCKET) -> str:
+def _sql_lsh_pairs(max_bucket: int | None = LSH_MAX_BUCKET, source: str = "documents") -> str:
     mins = ", ".join(_sql_minhash_exprs(dedup.DEFAULT_SEEDS))
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
@@ -1275,7 +1275,7 @@ def _sql_lsh_pairs(max_bucket: int | None = LSH_MAX_BUCKET) -> str:
     bands_name = "bands0" if max_bucket is not None else "bands"
     return f"""
 WITH sh AS (
-  SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
+  SELECT doc_id, {_SQL_SHINGLES} AS s FROM {source}
 ), sig AS (
   SELECT doc_id, [{mins}] AS sig, s FROM sh
 ), {bands_name} AS (
@@ -1800,6 +1800,247 @@ def q_media_frame_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# corpus curation: decontamination, PII, stratified sampling, end-to-end
+# --------------------------------------------------------------------------
+
+# synthetic held-out eval set, derived deterministically from the corpus
+# itself (the first N docs, re-keyed so bench ids never collide with doc
+# ids) — realistic: contamination is precisely "eval text present in
+# training data", and the corpus's planted near-dups make partial
+# overlaps non-trivial. A RANGE predicate (not a modulo) so the bench
+# branch's filter pushes into the parquet scan.
+_BENCH_N = 10
+_BENCH_OFFSET = 1_000_000
+
+
+def _bench(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") < _BENCH_N).select(
+        (F.col("doc_id") + _BENCH_OFFSET).alias("bench_id"), "text"
+    )
+
+
+def q_contamination_pairs(spark, sf_dir):
+    """Word 8-gram overlap counts between each training doc and each
+    benchmark item (GPT-3-style decontamination report)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.contamination_pairs(docs, _bench(docs))
+
+
+def _sql_word_grams(src: str, id_expr: str, id_name: str, n: int = 8) -> str:
+    """Distinct md5'd word n-grams per id — the DuckDB twin of
+    curation.word_ngram_hashes (same norm, same md5-of-joined-words)."""
+    return (
+        f"SELECT DISTINCT {id_name}, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS g "
+        f"FROM (SELECT {id_expr} AS {id_name}, string_split({_SQL_NORM}, ' ') AS w FROM {src}), "
+        f"UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)"
+    )
+
+
+_SQL_BENCH_SRC = f"(SELECT doc_id, text FROM documents WHERE doc_id < {_BENCH_N})"
+
+SQL_CONTAMINATION_PAIRS = f"""
+WITH dg AS ({_sql_word_grams("documents", "doc_id", "doc_id")}),
+bg AS ({_sql_word_grams(_SQL_BENCH_SRC, f"doc_id + {_BENCH_OFFSET}", "bench_id")})
+SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+FROM dg d JOIN bg b USING (g)
+GROUP BY 1, 2
+"""
+
+
+def q_decontaminated_ids(spark, sf_dir):
+    """Training docs surviving decontamination (no 8-gram shared with any
+    benchmark item)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.decontaminate(docs, _bench(docs)).select("doc_id")
+
+
+SQL_DECONTAMINATED_IDS = f"""
+WITH dg AS ({_sql_word_grams("documents", "doc_id", "doc_id")}),
+bg AS ({_sql_word_grams(_SQL_BENCH_SRC, f"doc_id + {_BENCH_OFFSET}", "bench_id")}),
+bad AS (SELECT DISTINCT d.doc_id FROM dg d JOIN bg b USING (g))
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII into the synthetic corpus (the raw
+    word-soup text has none) — identical construction in the SQL twin."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" iban DE89370400440532013000")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" tel +41 21 555 01 23")).otherwise(F.lit("")),
+        ),
+    )
+
+
+_SQL_PII_TEXT = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' iban DE89370400440532013000' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' tel +41 21 555 01 23' ELSE '' END"
+)
+
+
+def q_pii_stats(spark, sf_dir):
+    """Per-doc PII hit counts over the PII-augmented corpus."""
+    return curation.pii_stats(_pii_augmented(_t(spark, sf_dir, "documents")))
+
+
+def _sql_pii_count(pat: str) -> str:
+    return f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+
+
+SQL_PII_STATS = f"""
+WITH aug AS (SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents)
+SELECT doc_id,
+       {_sql_pii_count(curation.PII_PATTERNS["email"])} AS n_email,
+       {_sql_pii_count(curation.PII_PATTERNS["iban"])} AS n_iban,
+       {_sql_pii_count(curation.PII_PATTERNS["card"])} AS n_card,
+       {_sql_pii_count(curation.PII_PATTERNS["phone"])} AS n_phone,
+       ({_sql_pii_count(curation.PII_PATTERNS["email"])} + {_sql_pii_count(curation.PII_PATTERNS["iban"])}
+        + {_sql_pii_count(curation.PII_PATTERNS["card"])} + {_sql_pii_count(curation.PII_PATTERNS["phone"])}) > 0 AS has_pii
+FROM aug
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """Redacted text (typed placeholders) over the PII-augmented corpus."""
+    return curation.redact_pii(_pii_augmented(_t(spark, sf_dir, "documents")))
+
+
+def _sql_redact_chain() -> str:
+    expr = "t"
+    for k in curation.PII_ORDER:
+        expr = f"regexp_replace({expr}, '{curation.PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+    return expr
+
+
+SQL_PII_REDACT = f"""
+WITH aug AS (SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents)
+SELECT doc_id, {_sql_redact_chain()} AS text_redacted FROM aug
+"""
+
+
+# data-mixing recipe: per-language keep rates (salted-md5 deterministic)
+_STRAT_RATES = {"en": 0.5, "fr": 0.8, "de": 1.0}
+_STRAT_DEFAULT = 0.25
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, _STRAT_RATES, default_rate=_STRAT_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def _sql_strat_threshold() -> str:
+    from ocr_spark.operators.curation import _rate_threshold
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN '{_rate_threshold(r)}'" for g, r in sorted(_STRAT_RATES.items())
+    )
+    return f"CASE lang {cases} ELSE '{_rate_threshold(_STRAT_DEFAULT)}' END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_sql_strat_threshold()}
+"""
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus mix report: per (source, predicted language) doc counts,
+    token totals, mean quality, distinct-content count."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = textstats.with_textstats(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(ts, on="doc_id")
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            fix4(F.avg("quality")).alias("avg_quality"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH ts AS ({_sql_textstats()})
+SELECT d.source, ts.lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(ts.n_tokens) AS BIGINT) AS total_tokens,
+       {_SQL_FIX4.format(x="avg(ts.quality)")} AS avg_quality,
+       CAST(count(DISTINCT ts.fp) AS BIGINT) AS n_unique
+FROM documents d JOIN ts ON d.doc_id = ts.doc_id
+GROUP BY 1, 2
+"""
+
+
+_CURATION_QUALITY_MIN = 0.4
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation: quality gate → exact dedup → near-dup
+    keep-one → decontamination; returns surviving doc ids. The DuckDB
+    twin recomposes every stage from its own primitives (recursive
+    closure for components, lateral unnest for grams) — a hash match
+    proves the full composition, not shared code."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.curate_corpus(
+        docs,
+        _bench(docs),
+        quality_min=_CURATION_QUALITY_MIN,
+        near_dup_threshold=0.5,
+        max_bucket=LSH_MAX_BUCKET,
+    ).select("doc_id")
+
+
+SQL_CORPUS_CURATION = f"""
+WITH RECURSIVE
+ts AS ({_sql_textstats()}),
+good AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN ts ON d.doc_id = ts.doc_id
+  WHERE ts.quality >= {_CURATION_QUALITY_MIN}
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5({_SQL_NORM})),
+d1 AS (SELECT g.doc_id, g.text FROM good g JOIN keep USING (doc_id)),
+pairs AS ({_sql_lsh_pairs(source="d1")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS m FROM nodes
+  UNION
+  SELECT r.node, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
+),
+losers AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING min(m) <> node),
+d2 AS (SELECT doc_id, text FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+dg AS ({_sql_word_grams("d2", "doc_id", "doc_id")}),
+bg AS ({_sql_word_grams(_SQL_BENCH_SRC, f"doc_id + {_BENCH_OFFSET}", "bench_id")}),
+bad AS (SELECT DISTINCT d.doc_id FROM dg d JOIN bg b USING (g))
+SELECT doc_id FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1847,6 +2088,13 @@ CATALOG: dict[str, tuple] = {
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
+    "contamination_pairs": (q_contamination_pairs, SQL_CONTAMINATION_PAIRS),
+    "decontaminated_ids": (q_decontaminated_ids, SQL_DECONTAMINATED_IDS),
+    "pii_stats": (q_pii_stats, SQL_PII_STATS),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
