@@ -37,6 +37,41 @@ DEFAULT_NGRAM = 8  # word n-gram width for decontamination
 # --------------------------------------------------------------------------
 
 
+def with_word_ngrams(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    out_col: str = "grams",
+) -> DataFrame:
+    """(id, grams): the distinct md5'd word n-grams of each document as
+    an ARRAY column (the streaming decontaminator consumes this form
+    directly — no explode, so it stays stateless under readStream).
+
+    Staged projections (norm → words → grams) keep every expression out
+    of the HOF lambdas — an inline normalization would be re-evaluated
+    once per emitted array element (the measured 10× shingle trap).
+    Hashing each gram to md5 hex makes the join key fixed-width (32 B)
+    regardless of n, so the broadcast hash table and the exploded
+    corpus-side rows stay small. Docs with < n words get an empty array.
+    """
+    words = documents.select(
+        id_col, dedup.normalized(F.col(text_col)).alias("_norm")
+    ).select(id_col, F.split(F.col("_norm"), " ").alias("_w"))
+    return words.select(
+        id_col,
+        F.array_distinct(
+            F.when(
+                F.size("_w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias(out_col),
+    )
+
+
 def word_ngram_hashes(
     documents: DataFrame,
     text_col: str = "text",
@@ -44,31 +79,10 @@ def word_ngram_hashes(
     id_col: str = "doc_id",
     out_col: str = "gram",
 ) -> DataFrame:
-    """Distinct md5'd word n-grams per document: one (id, gram) row each.
-
-    Staged projections (norm → words → grams) keep every expression out
-    of the HOF lambdas — an inline normalization would be re-evaluated
-    once per emitted array element (the measured 10× shingle trap).
-    Hashing each gram to md5 hex makes the join key fixed-width (32 B)
-    regardless of n, so the broadcast hash table and the exploded
-    corpus-side rows stay small. Docs with < n words emit nothing.
-    """
-    words = documents.select(
-        id_col, dedup.normalized(F.col(text_col)).alias("_norm")
-    ).select(id_col, F.split(F.col("_norm"), " ").alias("_w"))
-    grams = words.select(
-        id_col,
-        F.when(
-            F.size("_w") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
-                lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_g"),
-    )
-    return grams.select(id_col, F.explode(F.array_distinct("_g")).alias(out_col))
+    """Distinct md5'd word n-grams per document: one (id, gram) row each
+    (the exploded form of :func:`with_word_ngrams`)."""
+    grams = with_word_ngrams(documents, text_col, n, id_col, "_g")
+    return grams.select(id_col, F.explode("_g").alias(out_col))
 
 
 def contamination_pairs(

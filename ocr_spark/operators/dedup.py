@@ -552,6 +552,160 @@ def near_dup_pairs(
     return out
 
 
+def build_lsh_index(
+    documents: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    n_seeds: int = DEFAULT_SEEDS,
+    n_bands: int = DEFAULT_BANDS,
+    bucket_width: int = 2,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the MinHash-LSH state as an on-disk index so NEW
+    document batches can be near-dup-checked against an existing corpus
+    WITHOUT recomputing or rescanning it (the incremental-ingest pattern
+    a 100 TB corpus needs — re-running all-pairs on every delivery is a
+    full-corpus job; probing the index is proportional to the batch).
+
+    Layout under ``index_dir``:
+
+    * ``bands/``    — (doc_id, sig, band_hash) partitioned by
+      (band, bucket=first ``bucket_width`` hex chars of band_hash):
+      4 × 16^w directories, so a probe join on the partition columns
+      dynamic-partition-prunes to exactly the buckets the new batch
+      touches;
+    * ``shingles/`` — (doc_id, sh) for the exact-Jaccard verify;
+    * ``meta.json`` — the (k, n_seeds, n_bands, bucket_width) the index
+      was built with; probes validate against it so an index can never
+      be silently probed with mismatched hashing parameters.
+
+    ``mode="append"`` adds a new batch to an existing index (the caller
+    appends batches it has already probed/deduped).
+    """
+    import json
+    import os
+
+    sh = with_shingles(documents, text_col, k).localCheckpoint(eager=True)
+    sig = with_minhash(sh, n_seeds=n_seeds).select("doc_id", "sig")
+    bands = band_rows(sig, n_seeds, n_bands, carry_cols=("sig",)).withColumn(
+        "bucket", F.substring("band_hash", 1, bucket_width)
+    )
+    # cluster rows by partition key before partitionBy (the manifests.py
+    # small-file lesson: otherwise tasks × dirs tiny files)
+    n_parts = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bands.repartition(n_parts, "band", "bucket").write.partitionBy(
+        "band", "bucket"
+    ).mode(mode).parquet(f"{index_dir}/bands")
+    sh.write.mode(mode).parquet(f"{index_dir}/shingles")
+    meta = {
+        "k": k,
+        "n_seeds": n_seeds,
+        "n_bands": n_bands,
+        "bucket_width": bucket_width,
+    }
+    meta_path = f"{index_dir}/meta.json"
+    if mode == "append" and os.path.exists(meta_path):
+        existing = json.loads(open(meta_path).read())
+        if existing != meta:
+            raise ValueError(
+                f"lsh index at {index_dir} was built with {existing}, "
+                f"append requested with {meta}"
+            )
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def lsh_index_probe(
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    est_prefilter: float = 0.35,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an existing on-disk LSH
+    index: (doc_a = indexed doc, doc_b = new doc, jaccard ≥ threshold).
+
+    Scale shape: the batch's distinct (band, bucket) values — domain ≤
+    n_bands · 16^bucket_width, i.e. ≤ 1024 at the defaults, regardless
+    of batch size — are collected (one batch-proportional job) and
+    pushed as LITERAL partition filters on the ``bands/`` scan, so only
+    the directories the batch touches are read (asserted in tests;
+    static literals prune deterministically, where dynamic partition
+    pruning's benefit heuristic may decline).  The batch's band rows are
+    then BROADCAST into the candidate join; the verify joins candidate
+    ids against the index's shingle table (keyed) and the batch's
+    shingles (broadcast).  Probe cost scales with the batch, not the
+    corpus.
+
+    Pair-locality note (this is what the oracle exploits): with no
+    bucket cap, whether (a, b) becomes a verified pair depends only on
+    the two docs' own band hashes, agreement, and Jaccard — so
+    probe(new, index(old)) equals the full-batch ``near_dup_pairs(old ∪
+    new)`` restricted to cross pairs, exactly.
+    """
+    import json
+
+    meta = json.loads(open(f"{index_dir}/meta.json").read())
+    spark = new_docs.sparkSession
+    new_sh = with_shingles(new_docs, text_col, meta["k"]).localCheckpoint(eager=True)
+    new_sig = with_minhash(new_sh, n_seeds=meta["n_seeds"]).select("doc_id", "sig")
+    new_bands = band_rows(
+        new_sig, meta["n_seeds"], meta["n_bands"], carry_cols=("sig",)
+    ).withColumn("bucket", F.substring("band_hash", 1, meta["bucket_width"]))
+    new_bands = new_bands.localCheckpoint(eager=True)
+    touched: dict[int, list[str]] = {}
+    for r in new_bands.select("band", "bucket").distinct().collect():
+        touched.setdefault(r["band"], []).append(r["bucket"])
+    prune = None
+    for band, buckets in sorted(touched.items()):
+        term = (F.col("band") == band) & F.col("bucket").isin(buckets)
+        prune = term if prune is None else prune | term
+    idx = spark.read.parquet(f"{index_dir}/bands")
+    if prune is not None:
+        idx = idx.filter(prune)
+    cand = (
+        idx.alias("a")
+        .join(
+            F.broadcast(new_bands.alias("b")),
+            on=["band", "bucket", "band_hash"],
+            how="inner",
+        )
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+    )
+    if est_prefilter > 0.0:
+        need = min_sig_matches(est_prefilter, meta["n_seeds"])
+        matches = F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        cand = cand.filter(matches >= need)
+    pairs = cand.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).distinct()
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_parts, "doc_a")
+    idx_sh = spark.read.parquet(f"{index_dir}/shingles").select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    new_sh_b = new_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        pairs.join(idx_sh, on="doc_a")
+        .join(F.broadcast(new_sh_b), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iters: int = 20,

@@ -1355,6 +1355,37 @@ WHERE d.doc_id NOT IN (
 )
 
 
+# incremental ingest: index the "existing corpus" (doc_id < 400), probe
+# the "new delivery" (doc_id >= 400) against it
+_LSH_IDX_SPLIT = 400
+
+
+def q_lsh_index_pairs(spark, sf_dir):
+    """Incremental near-dup detection: the first 400 docs are
+    materialized as an on-disk LSH index (band table partitioned by
+    (band, band-hash bucket)), then the remaining docs are probed
+    against it with partition-pruned scans. By pair-locality (no bucket
+    cap), the result equals the full-batch pair set restricted to
+    (indexed, new) cross pairs — which is exactly what the oracle
+    computes, so the hash match proves the index round-trip."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="ocr_spark_lsh_idx_")
+    dedup.build_lsh_index(docs.filter(F.col("doc_id") < _LSH_IDX_SPLIT), idx_dir)
+    probe = dedup.lsh_index_probe(
+        docs.filter(F.col("doc_id") >= _LSH_IDX_SPLIT), idx_dir, threshold=0.5
+    )
+    return probe.select("doc_a", "doc_b", fix6(F.col("jaccard")).alias("jaccard"))
+
+
+SQL_LSH_INDEX_PAIRS = f"""
+WITH p AS ({_sql_lsh_pairs(max_bucket=None)})
+SELECT doc_a, doc_b, jaccard FROM p
+WHERE doc_a < {_LSH_IDX_SPLIT} AND doc_b >= {_LSH_IDX_SPLIT}
+"""
+
+
 def q_embed_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id < 10."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2085,6 +2116,7 @@ CATALOG: dict[str, tuple] = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
     "near_dup_keep_one": (q_near_dup_keep_one, SQL_NEAR_DUP_KEEP_ONE),
+    "lsh_index_pairs": (q_lsh_index_pairs, SQL_LSH_INDEX_PAIRS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),

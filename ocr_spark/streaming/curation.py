@@ -1,0 +1,63 @@
+"""Streaming corpus curation — the stateless drop-ins.
+
+`redact_pii`, `pii_stats`, and `stratified_sample` are pure row-local
+column expressions, so they run unchanged on a streaming DataFrame (no
+wrapper needed — tested). Decontamination is the one op whose batch form
+aggregates (per-pair gram counts), so it gets a dedicated stateless
+streaming form here: each row's gram ARRAY is checked against the full
+benchmark gram set via a broadcast one-row static frame — no explode, no
+aggregation, no state store, exact `min_hits=1` batch semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.curation import DEFAULT_NGRAM, word_ngram_hashes
+from ocr_spark.operators.dedup import normalized
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Streaming docs minus any row sharing ≥1 word n-gram with the
+    (static, batch) benchmark set — identical to batch
+    ``decontaminate(min_hits=1)`` row-for-row (tested).
+
+    Shape: the benchmark's grams collapse to ONE static row holding the
+    full gram set (cached, so the static plan runs once, not per
+    micro-batch); the stream side computes its gram array per row and a
+    broadcast cross join + ``arrays_overlap`` filter makes the keep/drop
+    decision row-locally. Stateless — works on an unbounded stream with
+    zero state store, and the bench side is eval-set-sized by nature so
+    the single-row broadcast is bounded.
+    """
+    bench_set = (
+        word_ngram_hashes(bench, text_col, n, bench_id_col)
+        .agg(F.collect_set("gram").alias("_bench_grams"))
+        .cache()
+    )
+    staged = (
+        docs.withColumn("_norm", normalized(F.col(text_col)))
+        .withColumn("_w", F.split(F.col("_norm"), " "))
+        .withColumn(
+            "_grams",
+            F.when(
+                F.size("_w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return (
+        staged.crossJoin(F.broadcast(bench_set))
+        .filter(~F.arrays_overlap("_grams", "_bench_grams"))
+        .drop("_norm", "_w", "_grams", "_bench_grams")
+    )

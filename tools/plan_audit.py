@@ -35,9 +35,6 @@ CROSS_OK = {
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
-# queries whose defining filter is a computed expression parquet can never
-# push (salted-md5 sampling draw) — the scan is still column-pruned
-EXPR_FILTER_OK = {"stratified_sample"}
 
 
 def _unpushed_filtered_scan(plan: str) -> bool:
@@ -66,8 +63,22 @@ def _unpushed_filtered_scan(plan: str) -> bool:
         # passthrough columns the filter never tests (e.g. an id column
         # riding past an isnotnull on a computed join key)
         m = re.search(r"Condition : (.*)", block)
-        if m and set(re.findall(r"\w+#\d+L?", m.group(1))) & scan_cols:
-            return True
+        if not m:
+            continue
+        # comparisons INSIDE a CASE expression are operands of a computed
+        # value (e.g. a per-group sampling threshold), not conjuncts a
+        # scan could push — strip them before matching
+        cond = re.sub(r"CASE WHEN .*? END", " ", m.group(1))
+        # flag only PUSHABLE-SHAPED conjuncts: a bare (or cast-wrapped —
+        # the classic pushdown killer) column compared to a literal.
+        # Computed-expression predicates (size(...)>0 from explode
+        # pruning, md5/regex filters) can never push and are fine.
+        for col, rhs in re.findall(
+            r"\((?:cast\()?(\w+#\d+L?)(?: as \w+\))? (?:=|<=|>=|<|>) ([^\s()]+)\)",
+            cond,
+        ):
+            if col in scan_cols and "#" not in rhs:
+                return True
     return False
 
 
@@ -105,7 +116,7 @@ def main() -> None:
         rows.append(info)
         if info["cartesian"] and name not in CROSS_OK:
             violations.append(f"{name}: unexpected cartesian/nested-loop join")
-        if info["scans"] and name not in NO_SCAN and name not in EXPR_FILTER_OK:
+        if info["scans"] and name not in NO_SCAN:
             # only flag Filters that actually read from an unpushed scan
             if _unpushed_filtered_scan(info["plan"]):
                 violations.append(f"{name}: parquet scan without pushed filters")
