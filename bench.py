@@ -49,6 +49,16 @@ HEADLINE = [
     "embed_topk",
 ]
 
+# Round-3 curation family — timed separately (extra_queries in the JSON)
+# so the headline total stays comparable across rounds.
+EXTRA = [
+    "decontaminated_ids",
+    "pii_redact",
+    "stratified_sample",
+    "corpus_curation",
+    "lsh_index_pairs",
+]
+
 
 def sf_of(sf_dir: str) -> float:
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -170,6 +180,17 @@ def main() -> None:
                     best = min(best, time.monotonic() - t0)
                     spark.catalog.clearCache()
                 queries[name] = round(best, 3)
+        extra: dict[str, float] = {}
+        if not args.flagship_only:
+            for name in EXTRA:
+                fn, _sql = CATALOG[name]
+                best = float("inf")
+                for _ in range(max(1, args.repeat)):
+                    t0 = time.monotonic()
+                    noop_write(fn(spark, args.sf_dir))
+                    best = min(best, time.monotonic() - t0)
+                    spark.catalog.clearCache()
+                extra[name] = round(best, 3)
         total = round(sum(queries.values()), 3)
         print(
             json.dumps(
@@ -178,6 +199,7 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": queries,
+                    "extra_queries": extra,
                     "sf": sf,
                     "cpus": args.cpus,
                     "extraction_docs": n_docs,

@@ -54,7 +54,13 @@ def with_word_ngrams(
     Hashing each gram to md5 hex makes the join key fixed-width (32 B)
     regardless of n, so the broadcast hash table and the exploded
     corpus-side rows stay small. Docs with < n words get an empty array.
+
+    The input is round-robin re-split when it arrives as one small
+    parquet file — the gram build is the CPU-heavy stage (split + one
+    md5 per gram), and a single-split source would pin it to one core
+    (measured 7 s → ~1.5 s at sf0.1 on local[32]).
     """
+    documents = dedup._ensure_parallelism(documents)
     words = documents.select(
         id_col, dedup.normalized(F.col(text_col)).alias("_norm")
     ).select(id_col, F.split(F.col("_norm"), " ").alias("_w"))
@@ -80,9 +86,20 @@ def word_ngram_hashes(
     out_col: str = "gram",
 ) -> DataFrame:
     """Distinct md5'd word n-grams per document: one (id, gram) row each
-    (the exploded form of :func:`with_word_ngrams`)."""
+    (the exploded form of :func:`with_word_ngrams`).
+
+    ``explode_outer`` + a post-Generate null filter, NOT plain explode:
+    InferFiltersFromGenerate turns a plain explode into an inferred
+    ``size(g) > 0 AND isnotnull(g)`` filter that gets pushed below the
+    repartition with the whole gram-build expression re-inlined — i.e.
+    the md5-per-gram pass evaluated TWICE on the unsplit input in one
+    task before the parallel stage starts (observed in the sf0.1 plan).
+    Outer generate infers nothing; short docs yield a null gram row the
+    trivial post-filter drops."""
     grams = with_word_ngrams(documents, text_col, n, id_col, "_g")
-    return grams.select(id_col, F.explode("_g").alias(out_col))
+    return grams.select(id_col, F.explode_outer("_g").alias(out_col)).filter(
+        F.col(out_col).isNotNull()
+    )
 
 
 def contamination_pairs(
