@@ -1,0 +1,199 @@
+"""Repetition-quality signals and training-sequence packing.
+
+The Gopher-rule half of a web-corpus quality gate (Rae et al. 2021,
+"Scaling Language Models: ... Gopher", §A1.1 repetition filters) plus the
+GPT-style concat-and-chunk sequence packer every LLM training pipeline
+needs between "curated documents" and "fixed-length training sequences".
+
+All operators are built-in column functions / keyed aggregations — no
+Python in any hot path — and each has a DuckDB SQL twin in
+ocr_spark.queries, so the driver's hash-equality oracle covers them.
+
+Scale shapes:
+
+* repetition stats: explode → two-level keyed agg (partial map-side
+  combine), one shuffle keyed by doc_id per signal family, then a
+  same-key join — no window over the full corpus, no driver state;
+* line dedup: explode → min(pos) per (doc, line) → ordered re-assembly,
+  all keyed by doc_id;
+* packing: one window per SHARD (deterministic doc_id mod), so the sort
+  that defines token order is bounded by corpus/n_shards — pick n_shards
+  ≈ cluster parallelism and no task ever sees more than one shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.textstats import token_count
+
+
+def split_lines(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, line): one row per physical line, position-preserving."""
+    return documents.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+
+
+def repetition_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition signals (the Gopher §A1.1 family):
+
+    * ``n_lines``            — physical line count;
+    * ``dup_line_frac``      — (n_lines − n_distinct_lines) / n_lines:
+      fraction of lines that are repeats of an earlier line;
+    * ``dup_line_char_frac`` — characters in repeat occurrences (each
+      duplicated line contributes count−1 of its lengths) over all line
+      characters;
+    * ``top_bigram``/``top_bigram_frac`` — the most frequent word
+    2-gram (ties → lexicographically greatest, so the argmax is a plain
+      max over (count, bigram) structs — no window sort) and the
+      fraction of normalized-text characters its occurrences cover.
+
+    Two independent keyed aggregations (lines, bigrams) joined on the
+    doc key: both shuffles hash on doc_id, so AQE co-locates the join.
+    """
+    lines = split_lines(documents, text_col, id_col)
+    per_line = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("len", F.length("line"))
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        ((F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt")).alias("dup_line_frac"),
+        (
+            F.sum((F.col("cnt") - 1) * F.col("len"))
+            / F.greatest(F.sum(F.col("cnt") * F.col("len")), F.lit(1))
+        ).alias("dup_line_char_frac"),
+    )
+
+    # bigrams over the whitespace-normalized word stream
+    words = documents.select(
+        id_col,
+        F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+        ).alias("_w"),
+    )
+    bigrams = words.select(
+        id_col,
+        F.length(F.array_join("_w", " ")).alias("_nchars"),
+        F.explode_outer(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    top_bg = (
+        bigrams.groupBy(id_col, "_nchars", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col, "_nchars")
+        .agg(F.max(F.struct("cnt", "bg")).alias("_top"))
+        .select(
+            id_col,
+            F.col("_top.bg").alias("top_bigram"),
+            F.when(
+                F.col("_top.bg").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.col("_top.cnt") * F.length("_top.bg") / F.greatest(F.col("_nchars"), F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return line_stats.join(top_bg, on=id_col)
+
+
+def dedup_lines(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text_clean): each document with repeated lines removed,
+    keeping the FIRST occurrence and the original line order (the CCNet
+    within-document paragraph-dedup step).
+
+    min(pos) per (doc, line) then an order-restoring re-assembly —
+    array_sort over (pos, line) structs, so no window and both shuffles
+    key on doc_id."""
+    lines = split_lines(documents, text_col, id_col)
+    firsts = lines.groupBy(id_col, "line").agg(F.min("pos").alias("pos"))
+    return (
+        firsts.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_s"))
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("_s"), lambda s: s["line"]), "\n"
+            ).alias("text_clean"),
+        )
+    )
+
+
+def pack_chunks(
+    documents: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing map: lay every document's
+    tokens end-to-end (per shard, in doc-id order) and cut a training
+    sequence every ``budget`` tokens. Emits one row per (document,
+    sequence) overlap:
+
+    * ``shard``          — deterministic doc_id mod ``n_shards``;
+    * ``seq_id``         — shard-local sequence number;
+    * ``doc_tok_start`` / ``doc_tok_end`` — the [start, end) token
+      slice of THIS doc that lands in the sequence;
+    * ``seq_off``        — where that slice begins inside the sequence.
+
+    A doc longer than ``budget`` spans several rows; short docs share a
+    sequence. Fully deterministic (no RNG, no engine hash): the same
+    (doc → sequence) map falls out on any engine, any partitioning —
+    which is what makes a training run reproducible. The only wide op
+    is ONE window per shard; token counting is the whitespace rule
+    shared with textstats (oracle-proven by ``bpe_tokens``).
+    """
+    toks = documents.select(
+        id_col,
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    placed = toks.select(
+        id_col,
+        "shard",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+    )
+    spans = placed.select(
+        id_col,
+        "shard",
+        "n_tok",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / budget),
+                F.floor((F.col("start") + F.col("n_tok") - 1) / budget),
+            )
+        ).alias("seq_id"),
+    )
+    return spans.select(
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        id_col,
+        F.greatest(F.col("seq_id") * budget - F.col("start"), F.lit(0))
+        .cast("long")
+        .alias("doc_tok_start"),
+        F.least((F.col("seq_id") + 1) * budget - F.col("start"), F.col("n_tok"))
+        .cast("long")
+        .alias("doc_tok_end"),
+        F.greatest(F.col("start") - F.col("seq_id") * budget, F.lit(0))
+        .cast("long")
+        .alias("seq_off"),
+    )

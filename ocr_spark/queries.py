@@ -23,7 +23,7 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocr_spark.operators import curation, dedup, enrich, similarity, textstats
+from ocr_spark.operators import curation, dedup, enrich, quality, similarity, textstats
 from ocr_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -2081,6 +2081,186 @@ SELECT doc_id FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 
 
 # --------------------------------------------------------------------------
+# repetition quality + sequence packing (ocr_spark.operators.quality)
+# --------------------------------------------------------------------------
+
+
+def _lined(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line view of the single-line synthetic corpus
+    (the `_pii_augmented` pattern): words regrouped into lines of
+    (6 + doc_id % 5) words, plus a planted repeat of the first line on
+    every third doc — identical construction in the SQL twins, so the
+    line-level operators get non-degenerate input."""
+    w = F.col("_width")
+    words = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("_w"),
+        (F.lit(6) + F.col("doc_id") % 5).cast("int").alias("_width"),
+    )
+    lined = words.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("_w") / w).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(F.col("_w"), i * w + 1, w), " "),
+            ),
+            "\n",
+        ).alias("_body"),
+        F.array_join(F.slice(F.col("_w"), 1, w), " ").alias("_first"),
+    )
+    return lined.select(
+        "doc_id",
+        F.concat(
+            F.col("_body"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), F.col("_first"))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_SQL_LINED = """
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           generate_series(0, CAST(ceil(len(w) / CAST(width AS DOUBLE)) AS INT) - 1),
+           i -> array_to_string(list_slice(w, i * width + 1, i * width + width), ' ')),
+         chr(10))
+       || CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || array_to_string(list_slice(w, 1, width), ' ')
+               ELSE '' END AS text
+FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(6 + doc_id % 5 AS INT) AS width
+      FROM documents)
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style per-doc repetition signals over the lined view."""
+    st = quality.repetition_stats(_lined(_t(spark, sf_dir, "documents")))
+    return st.select(
+        "doc_id",
+        "n_lines",
+        fix6(F.col("dup_line_frac")).alias("dup_line_frac"),
+        fix6(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        "top_bigram",
+        fix6(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH aug AS ({_SQL_LINED}),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS line
+  FROM ls, UNNEST(generate_series(1, len(arr))) AS t(i)
+),
+per_line AS (
+  SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+  FROM lines GROUP BY 1, 2
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         (sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
+         sum((cnt - 1) * len) / CAST(greatest(sum(cnt * len), 1) AS DOUBLE) AS dup_line_char_frac
+  FROM per_line GROUP BY 1
+),
+words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+  FROM aug
+),
+bg AS (
+  SELECT doc_id, length(array_to_string(w, ' ')) AS nchars,
+         array_to_string(list_slice(w, i, i + 1), ' ') AS b
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+bg_counts AS (
+  SELECT doc_id, nchars, b, count(*) AS cnt FROM bg GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT doc_id, nchars, b, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, b DESC) AS rn
+  FROM bg_counts
+),
+top AS (
+  SELECT doc_id, b AS top_bigram,
+         cnt * length(b) / CAST(greatest(nchars, 1) AS DOUBLE) AS top_bigram_frac
+  FROM ranked WHERE rn = 1
+)
+SELECT l.doc_id, l.n_lines,
+       {_SQL_FIX6.format(x="l.dup_line_frac")} AS dup_line_frac,
+       {_SQL_FIX6.format(x="l.dup_line_char_frac")} AS dup_line_char_frac,
+       t.top_bigram,
+       {_SQL_FIX6.format(x="coalesce(t.top_bigram_frac, 0.0)")} AS top_bigram_frac
+FROM line_stats l LEFT JOIN top t USING (doc_id)
+"""
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Within-doc repeated-line removal (CCNet paragraph dedup) over the
+    lined view."""
+    return quality.dedup_lines(_lined(_t(spark, sf_dir, "documents")))
+
+
+SQL_DEDUP_LINES = f"""
+WITH aug AS ({_SQL_LINED}),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS line
+  FROM ls, UNNEST(generate_series(1, len(arr))) AS t(i)
+),
+firsts AS (SELECT doc_id, line, min(pos) AS pos FROM lines GROUP BY 1, 2)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+FROM firsts GROUP BY doc_id
+"""
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing map (budget 512 tokens,
+    8 deterministic shards)."""
+    return quality.pack_chunks(
+        _t(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+_SQL_NTOK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+SQL_PACK_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+         CAST({_SQL_NTOK} AS BIGINT) AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, shard, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok
+              AS BIGINT) AS start
+  FROM toks WHERE n_tok > 0
+)
+SELECT shard, CAST(i AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(i * {_PACK_BUDGET} - start, 0) AS BIGINT) AS doc_tok_start,
+       CAST(least((i + 1) * {_PACK_BUDGET} - start, n_tok) AS BIGINT) AS doc_tok_end,
+       CAST(greatest(start - i * {_PACK_BUDGET}, 0) AS BIGINT) AS seq_off
+FROM placed,
+     UNNEST(generate_series(start // {_PACK_BUDGET},
+                            (start + n_tok - 1) // {_PACK_BUDGET})) AS t(i)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2136,6 +2316,9 @@ CATALOG: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),

@@ -1,0 +1,90 @@
+"""Semantics tests for repetition stats, line dedup, and sequence packing
+(ocr_spark.operators.quality) on hand-computable inputs. Engine-vs-oracle
+equality for the catalog forms is covered by test_queries_oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import quality
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_computed(spark):
+    # doc 0: 4 lines, "a b" repeated twice -> 1 dup line
+    txt = "a b\nc d e\na b\nf"
+    df = quality.repetition_stats(_docs(spark, [(0, txt)]))
+    r = df.collect()[0]
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == pytest.approx(1 / 4)
+    # chars: "a b"(3)*2 + "c d e"(5) + "f"(1) = 12; dup repeats: 1*3
+    assert r["dup_line_char_frac"] == pytest.approx(3 / 12)
+    # normalized words: a b c d e a b f -> top bigram "a b" (2 of 7)
+    assert r["top_bigram"] == "a b"
+    # norm text "a b c d e a b f" = 15 chars; "a b" len 3, cnt 2 -> 6/15
+    assert r["top_bigram_frac"] == pytest.approx(6 / 15)
+
+
+def test_repetition_stats_no_dups_single_word(spark):
+    df = quality.repetition_stats(_docs(spark, [(1, "solo")]))
+    r = df.collect()[0]
+    assert r["n_lines"] == 1
+    assert r["dup_line_frac"] == 0.0
+    assert r["top_bigram"] is None
+    assert r["top_bigram_frac"] == 0.0
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    txt = "x\ny\nx\nz\ny\nx"
+    df = quality.dedup_lines(_docs(spark, [(0, txt)]))
+    assert df.collect()[0]["text_clean"] == "x\ny\nz"
+
+
+def test_pack_chunks_spans_and_offsets(spark):
+    # one shard; budget 10. docs: 4, 10, 3 tokens in id order.
+    rows = [
+        (0, " ".join(["w"] * 4)),
+        (8, " ".join(["w"] * 10)),
+        (16, " ".join(["w"] * 3)),
+    ]
+    out = quality.pack_chunks(
+        _docs(spark, rows), budget=10, n_shards=8
+    ).filter(F.col("shard") == 0)
+    got = {
+        (r["doc_id"], r["seq_id"]): (r["doc_tok_start"], r["doc_tok_end"], r["seq_off"])
+        for r in out.collect()
+    }
+    # layout: doc0 [0,4), doc8 [4,14) -> spans seqs 0 and 1, doc16 [14,17)
+    assert got == {
+        (0, 0): (0, 4, 0),
+        (8, 0): (0, 6, 4),
+        (8, 1): (6, 10, 0),
+        (16, 1): (0, 3, 4),
+    }
+
+
+def test_pack_chunks_exact_boundary_no_empty_span(spark):
+    # doc fills seq 0 exactly; next doc starts cleanly in seq 1
+    rows = [(0, " ".join(["w"] * 10)), (8, "a b")]
+    out = quality.pack_chunks(_docs(spark, rows), budget=10, n_shards=8)
+    got = {(r["doc_id"], r["seq_id"]) for r in out.collect()}
+    assert got == {(0, 0), (8, 1)}
+
+
+def test_pack_chunks_deterministic_across_partitionings(spark):
+    rows = [(i, " ".join(["w"] * (1 + i % 17))) for i in range(200)]
+    base = quality.pack_chunks(_docs(spark, rows), budget=32, n_shards=4)
+    shuffled = quality.pack_chunks(
+        _docs(spark, rows).repartition(13), budget=32, n_shards=4
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, shuffled.collect()))
+    # every token of every doc is covered exactly once
+    tok = base.groupBy("doc_id").agg(
+        F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("n")
+    )
+    expect = {i: 1 + i % 17 for i in range(200)}
+    assert {r["doc_id"]: r["n"] for r in tok.collect()} == expect
