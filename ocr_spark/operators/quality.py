@@ -140,6 +140,7 @@ def pack_chunks(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order_salt: str | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing map: lay every document's
     tokens end-to-end (per shard, in doc-id order) and cut a training
@@ -158,13 +159,25 @@ def pack_chunks(
     which is what makes a training run reproducible. The only wide op
     is ONE window per shard; token counting is the whitespace rule
     shared with textstats (oracle-proven by ``bpe_tokens``).
+
+    ``order_salt`` switches the within-shard packing order from doc_id to
+    a salted md5 of the id — the deterministic "global shuffle" every
+    training run does before packing, still reproducible on any engine
+    (same draw construction as :func:`~ocr_spark.operators.curation.stratified_sample`).
     """
     toks = documents.select(
         id_col,
         (F.col(id_col) % n_shards).cast("int").alias("shard"),
         token_count(F.col(text_col)).alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
-    w = Window.partitionBy("shard").orderBy(id_col)
+    if order_salt is not None:
+        toks = toks.withColumn(
+            "_ord",
+            F.md5(F.concat(F.lit(f"{order_salt}:"), F.col(id_col).cast("string"))),
+        )
+        w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    else:
+        w = Window.partitionBy("shard").orderBy(id_col)
     placed = toks.select(
         id_col,
         "shard",

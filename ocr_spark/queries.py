@@ -2260,6 +2260,40 @@ FROM placed,
 """
 
 
+def q_pack_chunks_shuffled(spark, sf_dir):
+    """Packing after the deterministic salted-md5 'global shuffle' — the
+    training-order mix step, still engine-portable."""
+    return quality.pack_chunks(
+        _t(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+        order_salt="mix",
+    )
+
+
+SQL_PACK_CHUNKS_SHUFFLED = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+         CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
+         md5('mix:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, shard, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id) - n_tok
+              AS BIGINT) AS start
+  FROM toks WHERE n_tok > 0
+)
+SELECT shard, CAST(i AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(i * {_PACK_BUDGET} - start, 0) AS BIGINT) AS doc_tok_start,
+       CAST(least((i + 1) * {_PACK_BUDGET} - start, n_tok) AS BIGINT) AS doc_tok_end,
+       CAST(greatest(start - i * {_PACK_BUDGET}, 0) AS BIGINT) AS seq_off
+FROM placed,
+     UNNEST(generate_series(start // {_PACK_BUDGET},
+                            (start + n_tok - 1) // {_PACK_BUDGET})) AS t(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -2319,6 +2353,7 @@ CATALOG: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "pack_chunks_shuffled": (q_pack_chunks_shuffled, SQL_PACK_CHUNKS_SHUFFLED),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
