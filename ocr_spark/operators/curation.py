@@ -235,6 +235,50 @@ def stratified_sample(
     return documents.filter(draw < thr)
 
 
+def token_budget_sample(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-group token-budget sampling — the data-mixing step stated as
+    "take X tokens of group A, Y of group B": documents are taken in
+    salted-md5 order (a deterministic shuffle) until each group's token
+    budget is filled. A document is kept iff the budget was not yet
+    full when its turn came (greedy prefix — the last kept doc may
+    overshoot by part of its length, the standard mixing semantics).
+
+    Returns (id, group, n_tok) for the kept docs. Deterministic and
+    engine-portable like :func:`stratified_sample`. One window per
+    GROUP: groups are recipe-sized (languages/sources), so a hot group
+    means one big sorted partition — at extreme scale pre-slice the
+    group with the same chunk-and-merge trick sessionize_scalable uses;
+    at recipe scale this form is exact and simplest.
+    """
+    from ocr_spark.operators.textstats import token_count
+    from pyspark.sql import Window
+
+    draw = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    toks = documents.select(
+        id_col,
+        group_col,
+        token_count(F.col(text_col)).alias("n_tok"),
+        draw.alias("_draw"),
+    )
+    budget: Column = F.lit(default_budget).cast("long")
+    for group, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == group, F.lit(b).cast("long")).otherwise(budget)
+    w = Window.partitionBy(group_col).orderBy("_draw", id_col)
+    return (
+        toks.withColumn("_cum", F.sum("n_tok").over(w))
+        .filter(F.col("_cum") - F.col("n_tok") < budget)
+        .select(id_col, group_col, "n_tok")
+    )
+
+
 # --------------------------------------------------------------------------
 # composed curation pipeline
 # --------------------------------------------------------------------------

@@ -23,7 +23,15 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocr_spark.operators import curation, dedup, enrich, quality, similarity, textstats
+from ocr_spark.operators import (
+    curation,
+    dedup,
+    enrich,
+    quality,
+    similarity,
+    sketch,
+    textstats,
+)
 from ocr_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -2294,6 +2302,90 @@ FROM placed,
 """
 
 
+_KMV_K = 256
+
+
+def q_kmv_distinct_tokens(spark, sf_dir):
+    """Deterministic KMV distinct-token estimate for the corpus, next to
+    the exact count (the sketch VALUE is engine-portable — md5 + top-k —
+    which Spark's HLL is not, so this row hash-matches the oracle)."""
+    docs = dedup._ensure_parallelism(_t(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+        ).alias("_w")
+    ).select(F.explode_outer("_w").alias("w")).filter(F.col("w").isNotNull())
+    est = sketch.kmv_estimate(words, "w", k=_KMV_K)
+    exact = words.agg(F.countDistinct("w").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "k_used",
+        fix6(F.col("kth_u")).alias("kth_u"),
+        fix4(F.col("est_distinct")).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+_SQL_KMV_U = (
+    f"CAST('0x' || substring(h, 1, 15) AS BIGINT) / CAST({float(1 << 60)} AS DOUBLE)"
+)
+
+SQL_KMV_DISTINCT_TOKENS = f"""
+WITH w AS (
+  SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+hs AS (SELECT DISTINCT md5(w) AS h FROM w),
+sk AS (
+  SELECT h, {_SQL_KMV_U} AS u FROM hs ORDER BY u, h LIMIT {_KMV_K}
+),
+agg AS (SELECT count(*) AS k_used, max(u) AS kth_u FROM sk),
+exact AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct FROM w)
+SELECT agg.k_used,
+       {_SQL_FIX6.format(x="agg.kth_u")} AS kth_u,
+       {_SQL_FIX4.format(x=f"CASE WHEN agg.k_used < {_KMV_K} THEN CAST(agg.k_used AS DOUBLE) ELSE (agg.k_used - 1) / agg.kth_u END")} AS est_distinct,
+       exact.exact_distinct
+FROM agg, exact
+"""
+
+
+# data-mixing recipe: per-language token budgets (salted-md5 order)
+_TOKEN_BUDGETS = {"en": 5000, "fr": 2000, "de": 1000}
+_TOKEN_BUDGET_DEFAULT = 500
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Greedy per-language token-budget sample in deterministic salted
+    order — 'take X tokens of en, Y of fr, ...'."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.token_budget_sample(
+        docs, _TOKEN_BUDGETS, default_budget=_TOKEN_BUDGET_DEFAULT
+    )
+
+
+def _sql_budget_case() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in sorted(_TOKEN_BUDGETS.items())
+    )
+    return f"CASE lang {cases} ELSE {_TOKEN_BUDGET_DEFAULT} END"
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
+         md5('budget:' || CAST(doc_id AS VARCHAR)) AS draw
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY draw, doc_id)
+              AS BIGINT) AS cum
+  FROM toks
+)
+SELECT doc_id, lang, n_tok FROM placed
+WHERE cum - n_tok < {_sql_budget_case()}
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -2354,6 +2446,8 @@ CATALOG: dict[str, tuple] = {
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pack_chunks_shuffled": (q_pack_chunks_shuffled, SQL_PACK_CHUNKS_SHUFFLED),
+    "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT_TOKENS),
+    "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),

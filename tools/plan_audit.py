@@ -32,6 +32,8 @@ CROSS_OK = {
     "fuzzy_top1", "fuzzy_top1_trgm", "ngram_jaccard", "embed_cosine_dups",
     "embed_topk", "erp_containment", "supplier_fallback", "vat_imputation",
     "lsh_ann_topk", "ivf_ann_topk",
+    # 1-row x 1-row: sketch estimate beside the exact count
+    "kmv_distinct_tokens",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
