@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Table-maintenance job: compact a manifest-sink output.
+
+    spark-submit --master <cluster> --py-files ocr_spark.zip \
+        jobs/compact.py --out /data/extracted [--key-col doc_id] \
+        [--min-epochs 2] [--vacuum]
+
+Rewrites every live epoch into one file per bucket and atomically
+supersedes the old epochs through the compactions/ commit record (the
+Iceberg rewrite_data_files + expire_snapshots analogue). Safe to run
+beside readers at any time: the switch is a single file materialization,
+and a killed compactor leaves only invisible orphan files. Run with
+--vacuum to also delete the superseded epoch directories, or leave them
+for a later sweep.
+
+Local smoke:
+    python jobs/compact.py --out /tmp/extracted --vacuum
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True, help="sink root (data/ + manifests/)")
+    ap.add_argument("--key-col", default="doc_id")
+    ap.add_argument("--min-epochs", type=int, default=2)
+    ap.add_argument("--vacuum", action="store_true")
+    args = ap.parse_args()
+
+    from ocr_spark.session import get_spark
+    from ocr_spark.sources.manifests import compact
+
+    spark = get_spark(app_name="ocr_spark_compact")
+    stats = compact(
+        spark,
+        args.out,
+        key_col=args.key_col,
+        min_epochs=args.min_epochs,
+        vacuum=args.vacuum,
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

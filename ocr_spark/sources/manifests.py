@@ -38,6 +38,10 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "manifests")
 
 
+def _compactions_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "compactions")
+
+
 def _is_path_missing(e: AnalysisException) -> bool:
     """True only for the no-such-path analysis error.  Everything else
     (transient IO, schema corruption, permissions) must PROPAGATE: ADVICE
@@ -68,8 +72,50 @@ def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
         raise
 
 
-def completed_buckets(spark: SparkSession, out_dir: str, input_snapshot: str) -> DataFrame | None:
+def read_compactions(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = _compactions_dir(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if _is_path_missing(e):  # never compacted
+            return None
+        raise
+
+
+_MANIFEST_COLS = [
+    "bucket",
+    "input_snapshot",
+    "row_count",
+    "byte_count",
+    "lineage_hash",
+    "job_epoch",
+]
+
+
+def active_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The live manifest view: original manifest rows whose epoch has not
+    been superseded by a compaction, plus non-superseded compaction rows
+    (a later compaction supersedes an earlier one's epoch the same way).
+    All readers and the resume anti-join go through this view, so a
+    compaction is invisible to every consumer except in file counts."""
     m = read_manifests(spark, out_dir)
+    c = read_compactions(spark, out_dir)
+    if c is None:
+        return m
+    sup = c.select(F.explode("superseded").alias("job_epoch")).distinct()
+    c_live = c.select(*_MANIFEST_COLS).join(
+        F.broadcast(sup), on="job_epoch", how="left_anti"
+    )
+    if m is None:
+        return c_live
+    m_live = m.select(*_MANIFEST_COLS).join(
+        F.broadcast(sup), on="job_epoch", how="left_anti"
+    )
+    return m_live.unionByName(c_live)
+
+
+def completed_buckets(spark: SparkSession, out_dir: str, input_snapshot: str) -> DataFrame | None:
+    m = active_manifests(spark, out_dir)
     if m is None:
         return None
     return m.filter(F.col("input_snapshot") == input_snapshot).select("bucket").distinct()
@@ -94,7 +140,14 @@ def checkpointed_write(
     (resume semantics); the epoch id isolates this attempt's files.
     """
     epoch = uuid.uuid4().hex[:16]
-    bucketed = with_bucket(df, n_buckets, salt, key_col).withColumn("epoch", F.lit(epoch))
+    # input_snapshot rides IN the data files (dictionary-encodes to ~0
+    # bytes: constant per write) so cross-snapshot compaction can merge
+    # epochs while readers still slice one delivery out of a merged file
+    bucketed = (
+        with_bucket(df, n_buckets, salt, key_col)
+        .withColumn("epoch", F.lit(epoch))
+        .withColumn("input_snapshot", F.lit(input_snapshot))
+    )
 
     done = completed_buckets(spark, out_dir, input_snapshot)
     skipped = 0
@@ -127,7 +180,9 @@ def checkpointed_write(
                 "rows": 0,
             }
         raise  # genuine read failure — caller must know no manifest landed
-    lineage_cols = lineage_cols or [c for c in df.columns if c != key_col]
+    lineage_cols = lineage_cols or [
+        c for c in df.columns if c not in (key_col, "input_snapshot")
+    ]
     lineage_expr = F.xxhash64(key_col, *[F.to_json(F.struct(c)) for c in lineage_cols])
     manifest = (
         written.groupBy("bucket")
@@ -156,16 +211,126 @@ def checkpointed_write(
     }
 
 
+def compact(
+    spark: SparkSession,
+    out_dir: str,
+    key_col: str = "doc_id",
+    lineage_cols: list[str] | None = None,
+    min_epochs: int = 2,
+    vacuum: bool = False,
+) -> dict:
+    """Rewrite ALL committed data as a single fresh epoch — one file per
+    bucket — and atomically supersede the old epochs: the Iceberg
+    `rewrite_data_files` analogue for this sink.
+
+    Why it matters at scale: every delivery (input_snapshot) and every
+    crash-resume attempt appends its own epoch, so a long-lived output
+    accumulates one file AND one partition directory per bucket per
+    delivery; after a year of dailies every read lists and opens ~365
+    files per bucket. Compaction collapses each bucket to one file.
+    Per-delivery reads survive because ``input_snapshot`` rides in the
+    data rows (written by :func:`checkpointed_write`) — a merged file
+    still slices cleanly by delivery.
+
+    Crash-safe commit protocol (same shape as checkpointed_write):
+
+    1. the compacted files land under ``epoch=c<uuid>`` via plain append —
+       INVISIBLE, because no manifest/compaction row references the epoch;
+    2. per-(bucket, snapshot) metrics are read back from the files
+       actually written (row counts and the order-independent lineage
+       hash must equal the superseded rows' — compaction moves bytes,
+       never rows);
+    3. the commit point is ONE single-file parquet append to
+       ``compactions/`` carrying the new manifest rows plus the
+       ``superseded`` epoch list. Readers resolve visibility through
+       :func:`active_manifests`, so the switch is a single file
+       materialization: crash before it → orphan files only; after it →
+       old epochs are dead.
+
+    ``vacuum=True`` additionally deletes the superseded epoch directories
+    (safe only after the commit record is durable — the default leaves
+    them for a later sweep, mirroring Iceberg's separate expire step).
+    Chained compactions supersede earlier compaction epochs the same way.
+    """
+    import glob as _glob
+    import shutil
+
+    active = active_manifests(spark, out_dir)
+    if active is None:
+        return {"new_epoch": None, "epochs_compacted": 0}
+    old_epochs = [r["job_epoch"] for r in active.select("job_epoch").distinct().collect()]
+    if len(old_epochs) < min_epochs:
+        return {"new_epoch": None, "epochs_compacted": 0}
+
+    keys = active.select("bucket", F.col("job_epoch").alias("epoch")).distinct()
+    n_buckets = keys.select("bucket").distinct().count()
+    new_epoch = "c" + uuid.uuid4().hex[:15]
+    data = (
+        spark.read.parquet(_data_dir(out_dir))
+        .join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi")
+        .drop("epoch")
+        .withColumn("epoch", F.lit(new_epoch))
+    )
+    # one task per bucket → one file per bucket (the small-file point)
+    data.repartition(n_buckets, "bucket").write.partitionBy("bucket", "epoch").mode(
+        "append"
+    ).parquet(_data_dir(out_dir))
+
+    epoch_glob = os.path.join(_data_dir(out_dir), "bucket=*", f"epoch={new_epoch}")
+    written = spark.read.option("basePath", _data_dir(out_dir)).parquet(epoch_glob)
+    lineage_cols = lineage_cols or [
+        c
+        for c in written.columns
+        if c not in (key_col, "bucket", "epoch", "input_snapshot")
+    ]
+    lineage_expr = F.xxhash64(key_col, *[F.to_json(F.struct(c)) for c in lineage_cols])
+    record = (
+        written.groupBy("bucket", "input_snapshot")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.octet_length(F.to_json(F.struct(*lineage_cols)))).alias("byte_count"),
+            F.bit_xor(lineage_expr).alias("_lh"),
+        )
+        .select(
+            "bucket",
+            "input_snapshot",
+            "row_count",
+            "byte_count",
+            F.conv(F.col("_lh").cast("string"), 10, 16).alias("lineage_hash"),
+            F.lit(new_epoch).alias("job_epoch"),
+            F.array(*[F.lit(e) for e in old_epochs]).alias("superseded"),
+        )
+    )
+    # single-file append = the atomic commit point
+    record.coalesce(1).write.mode("append").parquet(_compactions_dir(out_dir))
+
+    removed = 0
+    if vacuum:
+        for e in old_epochs:
+            for d in _glob.glob(os.path.join(_data_dir(out_dir), "bucket=*", f"epoch={e}")):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    return {
+        "new_epoch": new_epoch,
+        "epochs_compacted": len(old_epochs),
+        "buckets": n_buckets,
+        "vacuumed_dirs": removed,
+    }
+
+
 def read_committed(spark: SparkSession, out_dir: str, input_snapshot: str | None = None) -> DataFrame:
     """Read only data whose (bucket, epoch) is manifested; crashed-epoch
     orphan files are invisible."""
-    m = read_manifests(spark, out_dir)
+    m = active_manifests(spark, out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifests under {out_dir}")
     if input_snapshot is not None:
         m = m.filter(F.col("input_snapshot") == input_snapshot)
     keys = m.select("bucket", F.col("job_epoch").alias("epoch")).distinct()
     data = spark.read.parquet(_data_dir(out_dir))
-    return data.join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi").drop(
-        "bucket", "epoch"
-    )
+    out = data.join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi")
+    if input_snapshot is not None and "input_snapshot" in data.columns:
+        # a compacted epoch holds every delivery; slice the requested one
+        # out by the in-row snapshot column
+        out = out.filter(F.col("input_snapshot") == input_snapshot)
+    return out.drop("bucket", "epoch", "input_snapshot")

@@ -1,0 +1,131 @@
+"""Epoch compaction on the manifest sink: fewer files, identical reads,
+per-delivery slicing intact, resume semantics intact, crash-safe commit."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_spark.schemas import DOCUMENTS
+from ocr_spark.sources import manifests
+from ocr_spark.synth import synth_frames
+
+N_BUCKETS = 8
+
+
+def _docs(spark, n=40, tag=""):
+    docs_pd, _ = synth_frames(n)
+    df = spark.createDataFrame(docs_pd, schema=DOCUMENTS)
+    return (
+        df.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit(f"-{tag}")))
+        if tag
+        else df
+    )
+
+
+def _data_files(out):
+    return sorted(
+        p
+        for p in glob.glob(os.path.join(out, "data", "bucket=*", "epoch=*", "*"))
+        if p.endswith(".parquet")
+    )
+
+
+def _deliveries(spark, out, n_snaps=3):
+    """n_snaps daily-delivery appends → one epoch (and one file per
+    bucket) per delivery."""
+    batches = {}
+    for i in range(n_snaps):
+        docs = _docs(spark, 30, tag=f"b{i}")
+        manifests.checkpointed_write(spark, docs, out, N_BUCKETS, f"snap-{i}")
+        batches[f"snap-{i}"] = docs
+    return batches
+
+
+def test_compact_preserves_reads_and_reduces_files(spark, tmp_path):
+    out = str(tmp_path / "out")
+    batches = _deliveries(spark, out)
+
+    before_all = sorted(map(tuple, manifests.read_committed(spark, out).collect()))
+    before_files = _data_files(out)
+    assert len(before_files) >= 3 * N_BUCKETS / 2  # fragmented across deliveries
+
+    res = manifests.compact(spark, out, vacuum=True)
+    assert res["epochs_compacted"] == 3
+    assert res["vacuumed_dirs"] > 0
+
+    after_all = sorted(map(tuple, manifests.read_committed(spark, out).collect()))
+    assert after_all == before_all
+    after_files = _data_files(out)
+    assert len(after_files) == res["buckets"]  # one live file per bucket
+    assert len(after_files) < len(before_files)
+
+    # per-delivery slicing still works on the merged files
+    for snap, docs in batches.items():
+        got = manifests.read_committed(spark, out, snap)
+        assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == sorted(
+            r["doc_id"] for r in docs.select("doc_id").collect()
+        )
+
+
+def test_compact_preserves_lineage_hashes(spark, tmp_path):
+    out = str(tmp_path / "out")
+    _deliveries(spark, out)
+    old = manifests.read_manifests(spark, out).select(
+        "bucket", "input_snapshot", "row_count", "lineage_hash"
+    )
+    old_rows = sorted(map(tuple, old.collect()))
+    manifests.compact(spark, out)
+    live = manifests.active_manifests(spark, out).select(
+        "bucket", "input_snapshot", "row_count", "lineage_hash"
+    )
+    assert sorted(map(tuple, live.collect())) == old_rows
+
+
+def test_resume_still_noop_after_compaction(spark, tmp_path):
+    out = str(tmp_path / "out")
+    batches = _deliveries(spark, out)
+    manifests.compact(spark, out, vacuum=True)
+    s = manifests.checkpointed_write(spark, batches["snap-1"], out, N_BUCKETS, "snap-1")
+    assert s["rows"] == 0 and s["buckets_written"] == 0
+
+
+def test_appends_after_compaction_compose(spark, tmp_path):
+    out = str(tmp_path / "out")
+    _deliveries(spark, out)
+    manifests.compact(spark, out, vacuum=True)
+    extra = _docs(spark, 15, tag="x")
+    manifests.checkpointed_write(spark, extra, out, N_BUCKETS, "snap-9")
+    assert manifests.read_committed(spark, out, "snap-9").count() == 15
+    assert manifests.read_committed(spark, out).count() == 3 * 30 + 15
+    # chained compaction supersedes the first compaction epoch too
+    res = manifests.compact(spark, out, vacuum=True)
+    assert res["epochs_compacted"] == 2
+    assert len(_data_files(out)) == res["buckets"]
+    assert manifests.read_committed(spark, out).count() == 3 * 30 + 15
+
+
+def test_compact_noop_on_single_epoch(spark, tmp_path):
+    out = str(tmp_path / "out")
+    manifests.checkpointed_write(spark, _docs(spark, 20), out, N_BUCKETS, "snap-1")
+    res = manifests.compact(spark, out)
+    assert res["new_epoch"] is None and res["epochs_compacted"] == 0
+
+
+def test_crashed_compaction_is_invisible(spark, tmp_path):
+    out = str(tmp_path / "out")
+    _deliveries(spark, out)
+    before = manifests.read_committed(spark, out).count()
+
+    # simulate a compactor killed between the data rewrite and the commit
+    # record: compacted files exist under a c-epoch, no compactions/ row
+    orphan = (
+        manifests.with_bucket(_docs(spark), N_BUCKETS)
+        .withColumn("epoch", F.lit("cdeadbeefdeadbee"))
+        .withColumn("input_snapshot", F.lit("snap-0"))
+    )
+    orphan.write.partitionBy("bucket", "epoch").mode("append").parquet(out + "/data")
+
+    assert manifests.read_committed(spark, out).count() == before
