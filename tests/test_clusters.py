@@ -50,4 +50,19 @@ def test_keep_one_survivors(spark):
 def test_non_convergence_raises(spark):
     pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.dedup_clusters(pairs, max_iters=0)
+        dedup.dedup_clusters(pairs, max_iters=0, driver_max_edges=0)
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    # deterministic random-ish graph: chains, stars, isolated pairs
+    rows = [(i, i + 1) for i in range(0, 40, 2)]
+    rows += [(i, i + 2) for i in range(0, 20, 4)]
+    rows += [(100, x) for x in (101, 102, 103)]
+    pairs = _pairs(spark, rows)
+    fast = sorted(
+        map(tuple, dedup.dedup_clusters(pairs).collect())
+    )
+    dist = sorted(
+        map(tuple, dedup.dedup_clusters(pairs, driver_max_edges=0).collect())
+    )
+    assert fast == dist and len(fast) > 0
