@@ -57,6 +57,9 @@ EXTRA = [
     "stratified_sample",
     "corpus_curation",
     "lsh_index_pairs",
+    "repetition_stats",
+    "pack_chunks",
+    "kmv_distinct_tokens",
 ]
 
 

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Training-corpus curation job (spark-submit entrypoint).
+
+    spark-submit --master <cluster> --py-files ocr_spark.zip \
+        jobs/curate.py --docs <dir>/documents --bench <dir>/benchmarks \
+        --out /data/curated --snapshot snap-2026-08-17 \
+        [--quality-min 0.4] [--threshold 0.5] [--max-bucket 100] \
+        [--ngram 8] [--buckets 4096]
+
+Runs the composed curation chain — quality gate → exact dedup → MinHash-
+LSH near-dup keep-one → benchmark decontamination — over a documents
+table and writes the surviving rows through the manifest-checkpointed
+sink: a killed run re-submitted with the same --snapshot resumes at
+bucket granularity, and `jobs/compact.py` maintains the output like any
+other sink. The benchmark table needs (bench_id | doc_id, text) rows.
+
+Local smoke:
+    python jobs/curate.py --docs /root/testdata/sf0.01/documents.parquet \
+        --bench /root/testdata/sf0.01/documents.parquet --bench-limit 20 \
+        --out /tmp/curated --snapshot s1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet dir/file")
+    ap.add_argument("--bench", required=True, help="benchmark parquet (bench_id|doc_id, text)")
+    ap.add_argument("--bench-limit", type=int, default=None, help="take first N bench rows (smoke)")
+    ap.add_argument("--out", required=True, help="output root (data/ + manifests/)")
+    ap.add_argument("--snapshot", required=True, help="input snapshot id (resume key)")
+    ap.add_argument("--quality-min", type=float, default=0.4)
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--max-bucket", type=int, default=None)
+    ap.add_argument("--ngram", type=int, default=8)
+    ap.add_argument("--buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import curation
+    from ocr_spark.session import get_spark
+    from ocr_spark.sources.manifests import checkpointed_write
+
+    spark = get_spark(app_name="ocr_spark_curate")
+    docs = spark.read.parquet(args.docs)
+    bench = spark.read.parquet(args.bench)
+    if "bench_id" not in bench.columns:
+        bench = bench.withColumnRenamed("doc_id", "bench_id")
+    if args.bench_limit:
+        bench = bench.orderBy("bench_id").limit(args.bench_limit)
+
+    t0 = time.monotonic()
+    survivors = curation.curate_corpus(
+        docs,
+        bench.select("bench_id", "text"),
+        quality_min=args.quality_min,
+        near_dup_threshold=args.threshold,
+        max_bucket=args.max_bucket,
+        n=args.ngram,
+    )
+    stats = checkpointed_write(
+        spark, survivors, args.out, args.buckets, args.snapshot
+    )
+    stats["wall_sec"] = round(time.monotonic() - t0, 3)
+    stats["input_docs"] = docs.count()
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
