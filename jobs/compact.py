@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--key-col", default="doc_id")
     ap.add_argument("--min-epochs", type=int, default=2)
     ap.add_argument("--vacuum", action="store_true")
+    ap.add_argument("--max-file-rows", type=int, default=None)
     args = ap.parse_args()
 
     from ocr_spark.session import get_spark
@@ -45,6 +46,7 @@ def main() -> None:
         key_col=args.key_col,
         min_epochs=args.min_epochs,
         vacuum=args.vacuum,
+        max_file_rows=args.max_file_rows,
     )
     print(json.dumps(stats))
 

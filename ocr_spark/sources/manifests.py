@@ -218,10 +218,22 @@ def compact(
     lineage_cols: list[str] | None = None,
     min_epochs: int = 2,
     vacuum: bool = False,
+    max_file_rows: int | None = None,
 ) -> dict:
     """Rewrite ALL committed data as a single fresh epoch — one file per
     bucket — and atomically supersede the old epochs: the Iceberg
     `rewrite_data_files` analogue for this sink.
+
+    ``max_file_rows`` caps rows per output file (parquet
+    ``maxRecordsPerFile``): at 100 TB a bucket's single file would be
+    corpus/n_buckets — splitting keeps files scan-sized while still
+    collapsing the epoch-directory count to one per bucket.
+
+    Concurrency: appends racing a compaction are safe (the record only
+    supersedes the epochs it read; a newer epoch stays live), but TWO
+    compactors racing would both commit overlapping rewrites and
+    double the data — run one compactor per table, the same external
+    coordination plain-filesystem Iceberg needs for rewrites.
 
     Why it matters at scale: every delivery (input_snapshot) and every
     crash-resume attempt appends its own epoch, so a long-lived output
@@ -272,9 +284,10 @@ def compact(
         .withColumn("epoch", F.lit(new_epoch))
     )
     # one task per bucket → one file per bucket (the small-file point)
-    data.repartition(n_buckets, "bucket").write.partitionBy("bucket", "epoch").mode(
-        "append"
-    ).parquet(_data_dir(out_dir))
+    writer = data.repartition(n_buckets, "bucket").write
+    if max_file_rows:
+        writer = writer.option("maxRecordsPerFile", max_file_rows)
+    writer.partitionBy("bucket", "epoch").mode("append").parquet(_data_dir(out_dir))
 
     epoch_glob = os.path.join(_data_dir(out_dir), "bucket=*", f"epoch={new_epoch}")
     written = spark.read.option("basePath", _data_dir(out_dir)).parquet(epoch_glob)

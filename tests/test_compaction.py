@@ -129,3 +129,16 @@ def test_crashed_compaction_is_invisible(spark, tmp_path):
     orphan.write.partitionBy("bucket", "epoch").mode("append").parquet(out + "/data")
 
     assert manifests.read_committed(spark, out).count() == before
+
+
+def test_compact_max_file_rows_splits_files(spark, tmp_path):
+    out = str(tmp_path / "out")
+    _deliveries(spark, out)
+    before = sorted(map(tuple, manifests.read_committed(spark, out).collect()))
+    res = manifests.compact(spark, out, vacuum=True, max_file_rows=5)
+    files = _data_files(out)
+    assert len(files) > res["buckets"]  # split beyond one per bucket
+    # but still exactly one epoch dir per bucket
+    dirs = {os.path.dirname(p) for p in files}
+    assert len(dirs) == res["buckets"]
+    assert sorted(map(tuple, manifests.read_committed(spark, out).collect())) == before
