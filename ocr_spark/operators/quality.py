@@ -26,16 +26,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocr_spark.operators import dedup
 from ocr_spark.operators.textstats import token_count
 
 
 def split_lines(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, pos, line): one row per physical line, position-preserving."""
+    """(id, pos, line): one row per physical line, position-preserving.
+    Re-splits an under-parallel source first — the explode and the
+    per-line hashing downstream are CPU-bound and would otherwise pin to
+    one task on a single-file input.
+
+    ``posexplode_outer``, NOT posexplode: the inner form makes Catalyst
+    infer a ``size(split(..))>0`` filter that is pushed below the
+    repartition with the text expression re-inlined — when the text
+    column is itself computed (the catalog's _lined view), the whole
+    construction runs twice single-task before the parallel stage (the
+    word_ngram_hashes trap). split() never returns null/empty on
+    non-null text, so the outer form emits identical rows."""
+    documents = dedup._ensure_parallelism(documents)
     return documents.select(
-        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
-    )
+        id_col,
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.col("line").isNotNull())
 
 
 def repetition_stats(
@@ -54,60 +68,75 @@ def repetition_stats(
       max over (count, bigram) structs — no window sort) and the
       fraction of normalized-text characters its occurrences cover.
 
-    Two independent keyed aggregations (lines, bigrams) joined on the
-    doc key: both shuffles hash on doc_id, so AQE co-locates the join.
+    Plan shape: the line signals are pure array HOFs (a document's
+    lines are bounded by its row, so size/array_distinct/aggregate need
+    no shuffle at all), and they ride THROUGH the bigram aggregation as
+    grouping keys (functionally dependent on the doc id) — the whole
+    operator is one explode and two doc-keyed shuffles, no join. The
+    bigram count itself stays explode+groupBy rather than an O(words²)
+    per-row HOF so a single million-word document can't quadratic a
+    task.
     """
-    lines = split_lines(documents, text_col, id_col)
-    per_line = (
-        lines.groupBy(id_col, "line")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("len", F.length("line"))
-    )
-    line_stats = per_line.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_lines"),
-        ((F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt")).alias("dup_line_frac"),
-        (
-            F.sum((F.col("cnt") - 1) * F.col("len"))
-            / F.greatest(F.sum(F.col("cnt") * F.col("len")), F.lit(1))
-        ).alias("dup_line_char_frac"),
-    )
 
-    # bigrams over the whitespace-normalized word stream
-    words = documents.select(
+    def _sumlen(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
+
+    base = dedup._ensure_parallelism(documents).select(
         id_col,
+        F.split(F.col(text_col), "\n").alias("_lines"),
         F.split(
             F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
         ).alias("_w"),
     )
-    bigrams = words.select(
+    staged = base.select(
         id_col,
+        F.size("_lines").cast("long").alias("n_lines"),
+        (
+            (F.size("_lines") - F.size(F.array_distinct("_lines")))
+            / F.size("_lines")
+        ).alias("dup_line_frac"),
+        (
+            (_sumlen(F.col("_lines")) - _sumlen(F.array_distinct("_lines")))
+            / F.greatest(_sumlen(F.col("_lines")), F.lit(1))
+        ).alias("dup_line_char_frac"),
         F.length(F.array_join("_w", " ")).alias("_nchars"),
-        F.explode_outer(
-            F.when(
-                F.size("_w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bg"),
+        F.when(
+            F.size("_w") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_bg"),
     )
-    top_bg = (
-        bigrams.groupBy(id_col, "_nchars", "bg")
+    spans = staged.select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "_nchars",
+        F.explode_outer("_bg").alias("bg"),
+    )
+    stats = [id_col, "n_lines", "dup_line_frac", "dup_line_char_frac", "_nchars"]
+    return (
+        spans.groupBy(*stats, "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col, "_nchars")
+        .groupBy(*stats)
         .agg(F.max(F.struct("cnt", "bg")).alias("_top"))
         .select(
             id_col,
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
             F.col("_top.bg").alias("top_bigram"),
-            F.when(
-                F.col("_top.bg").isNull(), F.lit(0.0)
-            ).otherwise(
-                F.col("_top.cnt") * F.length("_top.bg") / F.greatest(F.col("_nchars"), F.lit(1))
-            ).alias("top_bigram_frac"),
+            F.when(F.col("_top.bg").isNull(), F.lit(0.0))
+            .otherwise(
+                F.col("_top.cnt")
+                * F.length("_top.bg")
+                / F.greatest(F.col("_nchars"), F.lit(1))
+            )
+            .alias("top_bigram_frac"),
         )
     )
-    return line_stats.join(top_bg, on=id_col)
 
 
 def dedup_lines(
