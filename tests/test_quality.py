@@ -88,3 +88,52 @@ def test_pack_chunks_deterministic_across_partitionings(spark):
     )
     expect = {i: 1 + i % 17 for i in range(200)}
     assert {r["doc_id"]: r["n"] for r in tok.collect()} == expect
+
+
+def _rand_docs(spark, n=60):
+    """Deterministic pseudo-random lined docs (md5-derived words, planted
+    repeats) — no RNG, same corpus every run."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        words = [
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[: 2 + (i + j) % 3]
+            for j in range(i % 23)
+        ]
+        width = 2 + i % 4
+        lines = [
+            " ".join(words[k : k + width]) for k in range(0, len(words), width)
+        ]
+        if i % 3 == 0 and lines:
+            lines += lines[: 1 + i % 2]  # planted duplicate lines
+        rows.append((i, "\n".join(lines) if lines else "x"))
+    return _docs(spark, rows)
+
+
+def test_dedup_lines_idempotent(spark):
+    docs = _rand_docs(spark)
+    once = quality.dedup_lines(docs)
+    twice = quality.dedup_lines(
+        once.select(F.col("doc_id"), F.col("text_clean").alias("text"))
+    )
+    a = {r["doc_id"]: r["text_clean"] for r in once.collect()}
+    b = {r["doc_id"]: r["text_clean"] for r in twice.collect()}
+    assert a == b
+    # and a dedup'd doc has no repeated lines at all
+    for t in a.values():
+        ls = t.split("\n")
+        assert len(ls) == len(set(ls))
+
+
+def test_repetition_stats_bounds(spark):
+    stats = quality.repetition_stats(_rand_docs(spark)).collect()
+    assert len(stats) == 60
+    for r in stats:
+        assert 0.0 <= r["dup_line_frac"] < 1.0
+        assert 0.0 <= r["dup_line_char_frac"] < 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+        assert r["n_lines"] >= 1
+        # planted duplicates must register
+        if r["doc_id"] % 3 == 0 and r["doc_id"] % 23 > 2:
+            assert r["dup_line_frac"] > 0.0
