@@ -22,8 +22,10 @@ partition granularity" is resume at bucket granularity.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
+from datetime import datetime, timezone
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -92,6 +94,54 @@ _MANIFEST_COLS = [
 ]
 
 
+def _manifest_view(df: DataFrame) -> DataFrame:
+    """Project a manifest/compaction frame to the canonical columns,
+    tolerating tables written before zone-map stats existed (col_stats
+    absent → null)."""
+    stats = (
+        F.col("col_stats")
+        if "col_stats" in df.columns
+        else F.lit(None).cast("string")
+    )
+    return df.select(*_MANIFEST_COLS, stats.alias("col_stats"))
+
+
+def _stats_aggs(stats_cols: list[str]) -> list:
+    """Per-group zone-map aggregates: min/max/null-count per tracked
+    column (all JVM partial aggs — they ride the same groupBy the
+    manifest metrics already pay for; zero extra passes)."""
+    aggs = []
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"_mn_{c}"),
+            F.max(c).alias(f"_mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nl_{c}"),
+        ]
+    return aggs
+
+
+def _stats_json(stats_cols: list[str] | None):
+    """Serialize the zone map as ONE json string column so the manifest
+    schema is stable no matter which (or how many) columns are tracked:
+    {"col": {"min": ..., "max": ..., "nulls": n}, ...}. to_json keeps
+    numerics as JSON numbers and dates/timestamps as ISO strings, which
+    is exactly what the driver-side pruner's comparator expects."""
+    if not stats_cols:
+        return F.lit(None).cast("string")
+    return F.to_json(
+        F.struct(
+            *[
+                F.struct(
+                    F.col(f"_mn_{c}").alias("min"),
+                    F.col(f"_mx_{c}").alias("max"),
+                    F.col(f"_nl_{c}").alias("nulls"),
+                ).alias(c)
+                for c in stats_cols
+            ]
+        )
+    )
+
+
 def active_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """The live manifest view: original manifest rows whose epoch has not
     been superseded by a compaction, plus non-superseded compaction rows
@@ -101,14 +151,14 @@ def active_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
     m = read_manifests(spark, out_dir)
     c = read_compactions(spark, out_dir)
     if c is None:
-        return m
+        return None if m is None else _manifest_view(m)
     sup = c.select(F.explode("superseded").alias("job_epoch")).distinct()
-    c_live = c.select(*_MANIFEST_COLS).join(
+    c_live = _manifest_view(c).join(
         F.broadcast(sup), on="job_epoch", how="left_anti"
     )
     if m is None:
         return c_live
-    m_live = m.select(*_MANIFEST_COLS).join(
+    m_live = _manifest_view(m).join(
         F.broadcast(sup), on="job_epoch", how="left_anti"
     )
     return m_live.unionByName(c_live)
@@ -130,10 +180,22 @@ def checkpointed_write(
     salt: int = 0,
     lineage_cols: list[str] | None = None,
     key_col: str = "doc_id",
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` bucket-partitioned with manifests, bucketing on
     ``key_col`` (doc_id for document-keyed tables; e.g. invoice_id for
     the goals table, which carries no doc_id).
+
+    ``stats_cols`` adds a per-bucket zone map (min/max/null-count for
+    each named column) to the manifest row — the Iceberg
+    column-stats/manifest-pruning analogue. :func:`pruned_read` uses it
+    to skip whole (bucket, epoch) file groups driver-side BEFORE any
+    listing or scan. At 100 TB the win is structural: a time predicate
+    on an append-mostly table touches only the deliveries whose range
+    overlaps, so a "last week" query over a year of dailies lists ~2 %
+    of the files instead of all of them. The stats ride the same
+    read-back groupBy the row-count metrics already pay for (zero extra
+    passes over the data).
 
     Returns {"epoch", "buckets_written", "buckets_skipped", "rows"}.
     Already-manifested buckets for this input_snapshot are skipped
@@ -183,6 +245,7 @@ def checkpointed_write(
     lineage_cols = lineage_cols or [
         c for c in df.columns if c not in (key_col, "input_snapshot")
     ]
+    stats_cols = [c for c in (stats_cols or []) if c in written.columns]
     lineage_expr = F.xxhash64(key_col, *[F.to_json(F.struct(c)) for c in lineage_cols])
     manifest = (
         written.groupBy("bucket")
@@ -190,6 +253,7 @@ def checkpointed_write(
             F.count(F.lit(1)).alias("row_count"),
             F.sum(F.octet_length(F.to_json(F.struct(*lineage_cols)))).alias("byte_count"),
             F.bit_xor(lineage_expr).alias("_lh"),  # order-independent, no overflow
+            *_stats_aggs(stats_cols),
         )
         .select(
             "bucket",
@@ -198,6 +262,7 @@ def checkpointed_write(
             "byte_count",
             F.conv(F.col("_lh").cast("string"), 10, 16).alias("lineage_hash"),
             F.lit(epoch).alias("job_epoch"),
+            _stats_json(stats_cols).alias("col_stats"),
         )
     )
     manifest.write.mode("append").parquet(_manifest_dir(out_dir))
@@ -219,6 +284,7 @@ def compact(
     min_epochs: int = 2,
     vacuum: bool = False,
     max_file_rows: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite ALL committed data as a single fresh epoch — one file per
     bucket — and atomically supersede the old epochs: the Iceberg
@@ -296,6 +362,9 @@ def compact(
         for c in written.columns
         if c not in (key_col, "bucket", "epoch", "input_snapshot")
     ]
+    if stats_cols is None:
+        stats_cols = _tracked_stats_cols(active)  # keep pruning power across compactions
+    stats_cols = [c for c in stats_cols if c in written.columns]
     lineage_expr = F.xxhash64(key_col, *[F.to_json(F.struct(c)) for c in lineage_cols])
     record = (
         written.groupBy("bucket", "input_snapshot")
@@ -303,6 +372,7 @@ def compact(
             F.count(F.lit(1)).alias("row_count"),
             F.sum(F.octet_length(F.to_json(F.struct(*lineage_cols)))).alias("byte_count"),
             F.bit_xor(lineage_expr).alias("_lh"),
+            *_stats_aggs(stats_cols),
         )
         .select(
             "bucket",
@@ -311,6 +381,7 @@ def compact(
             "byte_count",
             F.conv(F.col("_lh").cast("string"), 10, 16).alias("lineage_hash"),
             F.lit(new_epoch).alias("job_epoch"),
+            _stats_json(stats_cols).alias("col_stats"),
             F.array(*[F.lit(e) for e in old_epochs]).alias("superseded"),
         )
     )
@@ -345,5 +416,155 @@ def read_committed(spark: SparkSession, out_dir: str, input_snapshot: str | None
     if input_snapshot is not None and "input_snapshot" in data.columns:
         # a compacted epoch holds every delivery; slice the requested one
         # out by the in-row snapshot column
+        out = out.filter(F.col("input_snapshot") == input_snapshot)
+    return out.drop("bucket", "epoch", "input_snapshot")
+
+
+# --------------------------------------------------------------------------
+# zone-map scan pruning (Iceberg manifest-pruning analogue)
+# --------------------------------------------------------------------------
+
+
+def _tracked_stats_cols(manifests: DataFrame | None) -> list[str]:
+    """Which columns the live manifests carry zone maps for (keys of the
+    first non-null col_stats row — every writer of a table tracks the
+    same set, so one row is representative)."""
+    if manifests is None or "col_stats" not in manifests.columns:
+        return []
+    head = manifests.filter(F.col("col_stats").isNotNull()).select("col_stats").head(1)
+    if not head:
+        return []
+    return sorted(json.loads(head[0][0]).keys())
+
+
+def _parse_dt(s: str) -> datetime | None:
+    try:
+        d = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    return d if d.tzinfo else d.replace(tzinfo=timezone.utc)
+
+
+def _cmp(a, b) -> int | None:
+    """Three-way compare of a JSON-decoded stat value against a
+    predicate value; None = incomparable (pruner must keep the group).
+    Numerics compare numerically; strings that both parse as ISO
+    datetimes compare as instants (to_json serializes timestamp stats
+    as ISO strings); otherwise lexicographic — safe for the fixed-width
+    encodings this repo uses everywhere (md5 hex, zero-padded ids)."""
+    if isinstance(a, bool) or isinstance(b, bool):  # bool is int; exclude
+        return None
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return (a > b) - (a < b)
+    if isinstance(a, str) and isinstance(b, str):
+        da, db = _parse_dt(a), _parse_dt(b)
+        if da is not None and db is not None:
+            return (da > db) - (da < db)
+        return (a > b) - (a < b)
+    return None
+
+
+def _range_may_match(mn, mx, op: str, val) -> bool:
+    """Can any value in [mn, mx] satisfy (x op val)? Conservative: an
+    incomparable pair keeps the group (pruning is only ever a superset
+    guarantee)."""
+    if op == "between":
+        lo, hi = val
+        return _range_may_match(mn, mx, ">=", lo) and _range_may_match(mn, mx, "<=", hi)
+    c_mn = None if mn is None else _cmp(mn, val)
+    c_mx = None if mx is None else _cmp(mx, val)
+    if op == ">=":
+        return c_mx is None or c_mx >= 0
+    if op == ">":
+        return c_mx is None or c_mx > 0
+    if op == "<=":
+        return c_mn is None or c_mn <= 0
+    if op == "<":
+        return c_mn is None or c_mn < 0
+    if op == "=":
+        return (c_mn is None or c_mn <= 0) and (c_mx is None or c_mx >= 0)
+    raise ValueError(f"unknown zone-map op: {op!r}")
+
+
+def _row_may_match(col_stats: str | None, predicates: list[tuple]) -> bool:
+    if col_stats is None:
+        return True  # no zone map recorded → cannot prune
+    stats = json.loads(col_stats)
+    for colname, op, val in predicates:
+        st = stats.get(colname)
+        if st is None:
+            continue  # column not tracked → this predicate can't prune
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None and mx is None:
+            return False  # group is all-NULL in colname: no comparison matches
+        if not _range_may_match(mn, mx, op, val):
+            return False
+    return True
+
+
+def prune_plan(
+    spark: SparkSession,
+    out_dir: str,
+    predicates: list[tuple],
+    input_snapshot: str | None = None,
+) -> dict:
+    """Driver-side zone-map pruning: decide which committed
+    (bucket, epoch) file groups can possibly contain rows matching ALL
+    ``predicates`` — a list of (col, op, value) with op in
+    {'=', '<', '<=', '>', '>=', 'between'} (between takes a (lo, hi)
+    tuple). Returns {"paths", "kept_groups", "total_groups"}.
+
+    This is the Iceberg manifest-pruning shape: the manifest table is
+    metadata-sized (buckets × live epochs — thousands of rows at 100 TB,
+    not billions), so collecting it to the driver is the CHEAP way to
+    prune, and the surviving groups become an explicit path list — the
+    skipped epochs are never even LISTED, which on object storage is
+    where an append-heavy table's read cost actually lives. A compacted
+    epoch carries per-(bucket, delivery) stats rows; its directory
+    survives if ANY of its deliveries may match, and the in-file parquet
+    row-group stats then narrow further within the kept files.
+
+    Zone maps give a superset guarantee only — callers re-apply the real
+    predicate on the returned data (:func:`pruned_read` documents this).
+    """
+    m = active_manifests(spark, out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifests under {out_dir}")
+    if input_snapshot is not None:
+        m = m.filter(F.col("input_snapshot") == input_snapshot)
+    rows = m.select("bucket", "job_epoch", "col_stats").collect()  # metadata-sized
+    groups: dict[tuple, bool] = {}
+    for r in rows:
+        key = (r["bucket"], r["job_epoch"])
+        groups[key] = groups.get(key, False) or _row_may_match(
+            r["col_stats"], predicates
+        )
+    kept = sorted(k for k, keep in groups.items() if keep)
+    paths = [
+        os.path.join(_data_dir(out_dir), f"bucket={b}", f"epoch={e}") for b, e in kept
+    ]
+    return {"paths": paths, "kept_groups": len(kept), "total_groups": len(groups)}
+
+
+def pruned_read(
+    spark: SparkSession,
+    out_dir: str,
+    predicates: list[tuple],
+    input_snapshot: str | None = None,
+) -> DataFrame:
+    """Read only the committed file groups whose zone maps may satisfy
+    ``predicates`` (see :func:`prune_plan`). The result is a SUPERSET of
+    the matching rows — the caller applies the actual filter on top
+    (which Spark then also pushes into the parquet row-group stats of
+    the few files actually opened: manifest pruning and parquet
+    pushdown compose, they don't compete)."""
+    plan = prune_plan(spark, out_dir, predicates, input_snapshot)
+    data_dir = _data_dir(out_dir)
+    if not plan["paths"]:
+        # schema-only read; the false filter folds to an empty relation
+        out = spark.read.parquet(data_dir).where(F.lit(False))
+    else:
+        out = spark.read.option("basePath", data_dir).parquet(*plan["paths"])
+    if input_snapshot is not None and "input_snapshot" in out.columns:
         out = out.filter(F.col("input_snapshot") == input_snapshot)
     return out.drop("bucket", "epoch", "input_snapshot")

@@ -1,0 +1,153 @@
+"""Zone-map scan pruning on the manifest sink.
+
+Invariants:
+* pruned_read(predicates) + the real filter == read_committed + the same
+  filter (zone maps are a superset guarantee, never a row-changer);
+* disjoint-range deliveries ARE pruned (kept_groups < total_groups);
+* compaction preserves pruning power (per-(bucket, delivery) stats rows
+  inside the compacted epoch);
+* tables without stats, and predicates on untracked columns, keep
+  everything (conservative default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.sources import manifests as mf
+
+
+def _delivery(spark, lo: int, n: int, day: str):
+    return spark.range(lo, lo + n).select(
+        F.format_string("d%05d", F.col("id")).alias("doc_id"),
+        F.col("id").cast("long").alias("v"),
+        F.to_timestamp(F.lit(day)).alias("ts"),
+        F.lit("payload").alias("text"),
+    )
+
+
+def _write_two_deliveries(spark, out, stats_cols):
+    mf.checkpointed_write(
+        spark,
+        _delivery(spark, 0, 100, "2024-01-05"),
+        out,
+        n_buckets=4,
+        input_snapshot="s1",
+        stats_cols=stats_cols,
+    )
+    mf.checkpointed_write(
+        spark,
+        _delivery(spark, 1000, 100, "2024-03-05"),
+        out,
+        n_buckets=4,
+        input_snapshot="s2",
+        stats_cols=stats_cols,
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("doc_id", "v").collect())
+
+
+def test_numeric_pruning_skips_disjoint_delivery(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _write_two_deliveries(spark, out, stats_cols=["v", "ts"])
+
+    plan = mf.prune_plan(spark, out, [("v", ">=", 500)])
+    assert plan["total_groups"] == 8  # 4 buckets x 2 epochs
+    assert plan["kept_groups"] == 4  # the s1 epoch is provably out of range
+
+    got = mf.pruned_read(spark, out, [("v", ">=", 500)]).filter(F.col("v") >= 500)
+    want = mf.read_committed(spark, out).filter(F.col("v") >= 500)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 100
+
+
+def test_timestamp_and_between_and_eq(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _write_two_deliveries(spark, out, stats_cols=["v", "ts"])
+
+    # timestamp stats serialize as ISO strings; a date-prefix predicate
+    # compares as an instant
+    plan = mf.prune_plan(spark, out, [("ts", ">=", "2024-02-01")])
+    assert plan["kept_groups"] == 4
+    got = mf.pruned_read(spark, out, [("ts", ">=", "2024-02-01")]).filter(
+        F.col("ts") >= F.to_timestamp(F.lit("2024-02-01"))
+    )
+    assert len(_rows(got)) == 100
+
+    plan = mf.prune_plan(spark, out, [("v", "between", (40, 60))])
+    assert plan["kept_groups"] == 4
+    got = mf.pruned_read(spark, out, [("v", "between", (40, 60))]).filter(
+        F.col("v").between(40, 60)
+    )
+    assert len(_rows(got)) == 21
+
+    # '=' outside every range prunes everything; the empty read still
+    # carries the table schema
+    plan = mf.prune_plan(spark, out, [("v", "=", 500)])
+    assert plan["kept_groups"] == 0
+    empty = mf.pruned_read(spark, out, [("v", "=", 500)])
+    assert empty.count() == 0
+    assert "doc_id" in empty.columns and "v" in empty.columns
+
+
+def test_conjunction_prunes_more(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _write_two_deliveries(spark, out, stats_cols=["v", "ts"])
+    # each predicate alone keeps one epoch; together they keep none
+    plan = mf.prune_plan(spark, out, [("v", ">=", 500), ("ts", "<", "2024-02-01")])
+    assert plan["kept_groups"] == 0
+
+
+def test_compaction_preserves_pruning(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _write_two_deliveries(spark, out, stats_cols=["v", "ts"])
+    res = mf.compact(spark, out, key_col="doc_id")
+    assert res["epochs_compacted"] == 2
+
+    # the compacted dir holds both deliveries -> it survives a predicate
+    # matching either one (any-delivery-may-match rule) ...
+    plan = mf.prune_plan(spark, out, [("v", ">=", 500)])
+    assert plan["total_groups"] == 4  # one compacted epoch x 4 buckets
+    assert plan["kept_groups"] == 4
+    got = mf.pruned_read(spark, out, [("v", ">=", 500)]).filter(F.col("v") >= 500)
+    assert len(_rows(got)) == 100
+
+    # ... but slicing to one delivery prunes on THAT delivery's stats
+    plan = mf.prune_plan(spark, out, [("v", ">=", 500)], input_snapshot="s1")
+    assert plan["kept_groups"] == 0
+    got = mf.pruned_read(spark, out, [("v", ">=", 500)], input_snapshot="s1")
+    assert got.count() == 0
+    plan = mf.prune_plan(spark, out, [("v", "<=", 50)], input_snapshot="s1")
+    assert plan["kept_groups"] == 4
+
+
+def test_no_stats_or_untracked_column_keeps_everything(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _write_two_deliveries(spark, out, stats_cols=None)
+    plan = mf.prune_plan(spark, out, [("v", ">=", 500)])
+    assert plan["kept_groups"] == plan["total_groups"] == 8
+
+    out2 = str(tmp_path / "t2")
+    _write_two_deliveries(spark, out2, stats_cols=["v"])
+    # 'text' has no zone map -> its predicate cannot prune
+    plan = mf.prune_plan(spark, out2, [("text", "=", "zzz")])
+    assert plan["kept_groups"] == 8
+    # mixed: the tracked column still prunes inside a conjunction
+    plan = mf.prune_plan(spark, out2, [("text", "=", "zzz"), ("v", "<", 0)])
+    assert plan["kept_groups"] == 0
+
+
+def test_all_null_group_pruned(spark, tmp_path):
+    out = str(tmp_path / "t")
+    nulls = spark.range(0, 50).select(
+        F.format_string("d%05d", F.col("id")).alias("doc_id"),
+        F.lit(None).cast("long").alias("v"),
+    )
+    mf.checkpointed_write(
+        spark, nulls, out, n_buckets=2, input_snapshot="s1", stats_cols=["v"]
+    )
+    # a comparison predicate can never match an all-NULL column
+    plan = mf.prune_plan(spark, out, [("v", ">=", 0)])
+    assert plan["kept_groups"] == 0
