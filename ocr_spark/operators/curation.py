@@ -43,6 +43,7 @@ def with_word_ngrams(
     n: int = DEFAULT_NGRAM,
     id_col: str = "doc_id",
     out_col: str = "grams",
+    distinct: bool = True,
 ) -> DataFrame:
     """(id, grams): the distinct md5'd word n-grams of each document as
     an ARRAY column (the streaming decontaminator consumes this form
@@ -64,18 +65,16 @@ def with_word_ngrams(
     words = documents.select(
         id_col, dedup.normalized(F.col(text_col)).alias("_norm")
     ).select(id_col, F.split(F.col("_norm"), " ").alias("_w"))
-    return words.select(
-        id_col,
-        F.array_distinct(
-            F.when(
-                F.size("_w") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
-                    lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias(out_col),
-    )
+    grams = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return words.select(id_col, grams.alias(out_col))
 
 
 def word_ngram_hashes(
@@ -99,6 +98,87 @@ def word_ngram_hashes(
     grams = with_word_ngrams(documents, text_col, n, id_col, "_g")
     return grams.select(id_col, F.explode_outer("_g").alias(out_col)).filter(
         F.col(out_col).isNotNull()
+    )
+
+
+def word_ngram_occurrences(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    out_col: str = "gram",
+) -> DataFrame:
+    """EVERY word n-gram occurrence per doc (non-distinct — a gram
+    repeated inside a doc yields one row per occurrence). Same
+    explode_outer discipline as :func:`word_ngram_hashes`."""
+    grams = with_word_ngrams(documents, text_col, n, id_col, "_g", distinct=False)
+    return grams.select(id_col, F.explode_outer("_g").alias(out_col)).filter(
+        F.col(out_col).isNotNull()
+    )
+
+
+def dup_ngram_stats(
+    documents: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    single_pass: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-text signal — the corpus-frequency form of
+    substring-level dedup (the "how much of this doc is text that also
+    appears elsewhere" measure behind suffix-array training-data dedup,
+    here at word n-gram granularity so it stays a pure DataFrame plan):
+    for each doc, the fraction of its n-gram OCCURRENCES whose gram
+    appears in ≥ ``min_df`` distinct documents.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_fraction); docs shorter
+    than n words contribute no grams and are absent (they carry no
+    duplicable text at this granularity).
+
+    Shuffle shape at scale: (1) groupBy (doc, gram) with map-side
+    partial agg — the only stage that sees one row per occurrence;
+    (2) groupBy gram over the already-collapsed (doc, gram) rows for
+    document frequency; (3) gram-keyed join of the two (boilerplate hot
+    grams skew this key — AQE skew-join splits them, and the join
+    carries only (doc_id, gram, c, df) rows, never text; a WINDOW over
+    gram would need the hot gram in one unsplittable partition, which
+    is why the join form wins at scale); (4) groupBy doc. Nothing is
+    all-pairs and no stage carries payloads.
+
+    The collapsed (doc, gram, c) frame feeds BOTH the df count and the
+    join probe; without the persist, column pruning rewrites the df
+    branch's subplan (count dropped → non-identical exchange), so the
+    md5-per-occurrence gram build would execute twice (observed in the
+    executed plan). Persisting trades one spill-sized write/read of the
+    collapsed rows for the second full gram pass — the same
+    recompute-vs-spill call the minhash verify path makes. Callers that
+    can't afford executor storage at their scale pass
+    ``single_pass=False`` to recompute instead.
+    """
+    pg = (
+        word_ngram_occurrences(documents, text_col, n, id_col)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if single_pass:
+        from pyspark import StorageLevel
+
+        pg = pg.persist(StorageLevel.MEMORY_AND_DISK)
+    dfc = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        pg.join(dfc, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= min_df, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup_grams"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+        )
     )
 
 

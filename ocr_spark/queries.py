@@ -2387,6 +2387,39 @@ WHERE cum - n_tok < {_sql_budget_case()}
 """
 
 
+def q_dup_ngram_stats(spark, sf_dir):
+    """Per-doc duplicated-text fraction at word-8-gram granularity (the
+    corpus-frequency substring-dedup signal)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.dup_ngram_stats(docs, n=8, min_df=2)
+    return out.select(
+        "doc_id", "n_grams", "n_dup_grams", fix6(F.col("dup_fraction")).alias("dup_fraction")
+    )
+
+
+def _sql_word_gram_occurrences(src: str, id_expr: str, id_name: str, n: int = 8) -> str:
+    """NON-distinct word n-gram occurrences per id — the DuckDB twin of
+    curation.word_ngram_occurrences."""
+    return (
+        f"SELECT {id_name}, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS g "
+        f"FROM (SELECT {id_expr} AS {id_name}, string_split({_SQL_NORM}, ' ') AS w FROM {src}), "
+        f"UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)"
+    )
+
+
+SQL_DUP_NGRAM_STATS = f"""
+WITH pos AS ({_sql_word_gram_occurrences("documents", "doc_id", "doc_id")}),
+pg AS (SELECT doc_id, g, count(*) AS c FROM pos GROUP BY 1, 2),
+dfc AS (SELECT g, count(*) AS df FROM pg GROUP BY 1)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       {_SQL_FIX6.format(x="CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c)")} AS dup_fraction
+FROM pg JOIN dfc USING (g)
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # zone-map pruned scan over the manifest sink
 # --------------------------------------------------------------------------
@@ -2521,6 +2554,7 @@ CATALOG: dict[str, tuple] = {
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT_TOKENS),
     "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
+    "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
