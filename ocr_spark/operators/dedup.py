@@ -93,6 +93,8 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     single small parquet file → one task pinning a core for every
     CPU-bound shingle/hash stage). No-op when the source already has
     enough splits, so a 100 TB many-file input pays nothing."""
+    if df.isStreaming:
+        return df  # .rdd is illegal on streams; micro-batch split comes from the source
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() < max(2, target // 4):
         return df.repartition(target)

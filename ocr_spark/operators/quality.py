@@ -52,6 +52,43 @@ def split_lines(
     ).filter(F.col("line").isNotNull())
 
 
+def _sumlen(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
+
+
+def _rep_staged(documents: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The row-local half of the repetition signals: line stats as array
+    HOFs plus the raw bigram array (staged to a column so downstream
+    lambdas reference an attribute, never re-inline the split)."""
+    base = dedup._ensure_parallelism(documents).select(
+        id_col,
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+        ).alias("_w"),
+    )
+    return base.select(
+        id_col,
+        F.size("_lines").cast("long").alias("n_lines"),
+        (
+            (F.size("_lines") - F.size(F.array_distinct("_lines")))
+            / F.size("_lines")
+        ).alias("dup_line_frac"),
+        (
+            (_sumlen(F.col("_lines")) - _sumlen(F.array_distinct("_lines")))
+            / F.greatest(_sumlen(F.col("_lines")), F.lit(1))
+        ).alias("dup_line_char_frac"),
+        F.length(F.array_join("_w", " ")).alias("_nchars"),
+        F.when(
+            F.size("_w") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_bg"),
+    )
+
+
 def repetition_stats(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -78,36 +115,7 @@ def repetition_stats(
     task.
     """
 
-    def _sumlen(arr: Column) -> Column:
-        return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
-
-    base = dedup._ensure_parallelism(documents).select(
-        id_col,
-        F.split(F.col(text_col), "\n").alias("_lines"),
-        F.split(
-            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
-        ).alias("_w"),
-    )
-    staged = base.select(
-        id_col,
-        F.size("_lines").cast("long").alias("n_lines"),
-        (
-            (F.size("_lines") - F.size(F.array_distinct("_lines")))
-            / F.size("_lines")
-        ).alias("dup_line_frac"),
-        (
-            (_sumlen(F.col("_lines")) - _sumlen(F.array_distinct("_lines")))
-            / F.greatest(_sumlen(F.col("_lines")), F.lit(1))
-        ).alias("dup_line_char_frac"),
-        F.length(F.array_join("_w", " ")).alias("_nchars"),
-        F.when(
-            F.size("_w") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_w") - 1),
-                lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("_bg"),
-    )
+    staged = _rep_staged(documents, text_col, id_col)
     spans = staged.select(
         id_col,
         "n_lines",
@@ -122,6 +130,79 @@ def repetition_stats(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy(*stats)
         .agg(F.max(F.struct("cnt", "bg")).alias("_top"))
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.col("_top.bg").alias("top_bigram"),
+            F.when(F.col("_top.bg").isNull(), F.lit(0.0))
+            .otherwise(
+                F.col("_top.cnt")
+                * F.length("_top.bg")
+                / F.greatest(F.col("_nchars"), F.lit(1))
+            )
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_local(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shuffle-FREE form of :func:`repetition_stats` — identical output
+    (hash-equality proven by sharing the explode form's oracle SQL): the
+    top-bigram argmax is computed inside the row as array_sort + one
+    linear run-scan (O(w log w) per doc — sorted equal bigrams are
+    adjacent, so the longest run IS the max count; never the O(w²)
+    naive count-each-element HOF).
+
+    Why it exists twice: every signal here is a pure column expression,
+    so this form runs UNCHANGED on a streaming DataFrame in append mode
+    with zero state — it is the streaming drop-in — and in batch it
+    removes both doc-keyed shuffles, making per-doc cost bounded by the
+    doc itself (no hot key at any corpus size). The explode form remains
+    for the one case this form handles worse: a single pathological
+    gigaword document sorts in one task instead of spreading its bigrams
+    across the cluster.
+
+    Tie rule matched to the explode form's ``max(struct(cnt, bg))``:
+    on equal counts the lexicographically GREATEST bigram wins — the
+    ascending scan replaces the best only on (run > best) or
+    (run = best AND bigram > best's), which lands on the same winner.
+    """
+    staged = _rep_staged(documents, text_col, id_col)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("bestbg"),
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = (new_run > acc["best"]) | (
+            (new_run == acc["best"]) & (x > acc["bestbg"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestbg"]).alias("bestbg"),
+        )
+
+    top = F.aggregate(
+        F.array_sort("_bg"),
+        init,
+        _step,
+        lambda acc: F.struct(acc["best"].alias("cnt"), acc["bestbg"].alias("bg")),
+    )
+    # stage the aggregate once: the final select references _top four
+    # times, and each raw reference would re-run the sort+scan
+    return (
+        staged.withColumn("_top", top)
         .select(
             id_col,
             "n_lines",
@@ -161,6 +242,28 @@ def dedup_lines(
             ).alias("text_clean"),
         )
     )
+
+
+def dedup_lines_local(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shuffle-free form of :func:`dedup_lines` (identical output — it
+    shares the explode form's oracle SQL): keep line i iff no equal line
+    precedes it, as a row-local array filter. O(L²) string compares per
+    doc with L = that doc's LINE count — fine for real documents (L is
+    hundreds, and rows stay independent so there is no hot key); prefer
+    the explode form for pathological million-line single documents.
+    Pure column expressions → runs unchanged on streaming frames in
+    append mode with zero state (the streaming drop-in)."""
+    staged = dedup._ensure_parallelism(documents).select(
+        id_col, F.split(F.col(text_col), "\n").alias("_lines")
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: F.array_position(F.slice(F.col("_lines"), F.lit(1), i), x)
+        == F.lit(0),
+    )
+    return staged.select(id_col, F.array_join(kept, "\n").alias("text_clean"))
 
 
 def pack_chunks(

@@ -2215,6 +2215,27 @@ def q_dedup_lines(spark, sf_dir):
     return quality.dedup_lines(_lined(_t(spark, sf_dir, "documents")))
 
 
+def q_repetition_stats_local(spark, sf_dir):
+    """Zero-shuffle row-local form of repetition_stats (also the
+    streaming drop-in) — same oracle SQL as the explode form, so the
+    hash match proves the two implementations equivalent."""
+    st = quality.repetition_stats_local(_lined(_t(spark, sf_dir, "documents")))
+    return st.select(
+        "doc_id",
+        "n_lines",
+        fix6(F.col("dup_line_frac")).alias("dup_line_frac"),
+        fix6(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        "top_bigram",
+        fix6(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+    )
+
+
+def q_dedup_lines_local(spark, sf_dir):
+    """Zero-shuffle row-local form of dedup_lines (the streaming
+    drop-in), oracled against the explode form's SQL."""
+    return quality.dedup_lines_local(_lined(_t(spark, sf_dir, "documents")))
+
+
 SQL_DEDUP_LINES = f"""
 WITH aug AS ({_SQL_LINED}),
 ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
@@ -2548,7 +2569,9 @@ CATALOG: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "repetition_stats_local": (q_repetition_stats_local, SQL_REPETITION_STATS),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "dedup_lines_local": (q_dedup_lines_local, SQL_DEDUP_LINES),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pack_chunks_shuffled": (q_pack_chunks_shuffled, SQL_PACK_CHUNKS_SHUFFLED),
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT_TOKENS),

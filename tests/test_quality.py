@@ -137,3 +137,34 @@ def test_repetition_stats_bounds(spark):
         # planted duplicates must register
         if r["doc_id"] % 3 == 0 and r["doc_id"] % 23 > 2:
             assert r["dup_line_frac"] > 0.0
+
+
+def test_local_forms_equal_explode_forms(spark):
+    """The zero-shuffle row-local forms must match the explode forms
+    exactly — randomized docs plus hand-picked edges (empty text, one
+    word, tied bigram counts, all-identical lines)."""
+    edge = _docs(
+        spark,
+        [
+            (9001, ""),
+            (9002, "one"),
+            (9003, "a b a b a b"),  # 'a b' and 'b a' tie -> greatest wins
+            (9004, "x\nx\nx\ny"),
+            (9005, "t u\nt u"),
+            (9006, "z z z z z z"),
+            (9007, "  spaced   words  here  "),
+        ],
+    )
+    docs = _rand_docs(spark).unionByName(edge)
+    a = {r["doc_id"]: tuple(r)[1:] for r in quality.repetition_stats(docs).collect()}
+    b = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in quality.repetition_stats_local(docs).collect()
+    }
+    assert a == b
+    c = {r["doc_id"]: r["text_clean"] for r in quality.dedup_lines(docs).collect()}
+    d = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.dedup_lines_local(docs).collect()
+    }
+    assert c == d

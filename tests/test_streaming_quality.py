@@ -1,0 +1,67 @@
+"""Streaming quality drop-ins: the row-local repetition/line-dedup
+operators must produce the SAME rows on a stream (across micro-batch
+boundaries) as the batch explode forms on the full input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import quality
+from ocr_spark.streaming.quality import (
+    dedup_lines_stream,
+    repetition_stats_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_batched(spark, tmp_path, n_files=5):
+    src = str(tmp_path / "stream_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.withColumn("_b", F.col("doc_id") % n_files).repartition(
+        n_files, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(src)
+    return src, docs
+
+
+def _run_stream(spark, df, tmp_path, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _keyed(rows):
+    return {r[0]: tuple(r)[1:] for r in rows}
+
+
+def test_repetition_stats_stream_equals_batch(spark, tmp_path):
+    src, docs = _write_batched(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = _run_stream(
+        spark, repetition_stats_stream(stream), tmp_path, "repstats_stream"
+    ).collect()
+    want = quality.repetition_stats(docs).collect()
+    assert _keyed(got) == _keyed(want)
+    assert len(got) == docs.count()
+
+
+def test_dedup_lines_stream_equals_batch(spark, tmp_path):
+    src, docs = _write_batched(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = _run_stream(
+        spark, dedup_lines_stream(stream), tmp_path, "dlines_stream"
+    ).collect()
+    want = quality.dedup_lines(docs).collect()
+    assert _keyed(got) == _keyed(want)
