@@ -383,6 +383,16 @@ def curate_corpus(
     Ordered cheapest-first so each stage shrinks the next stage's input
     (the exact-dedup-before-LSH ordering is also what keeps hot LSH
     buckets small on templated corpora). Returns the surviving rows.
+
+    The quality-gated, exact-deduped frame (d1) is PERSISTED: it feeds
+    the LSH shingle build, the keep-one anti-join, and both sides of
+    decontamination (gram explode + final anti-join) — without the
+    persist the scan → textstats quality gate → dedup shuffle lineage
+    re-executes three to four times (near_dup_pairs checkpoints its
+    PAIRS, but not its input). Measured 11.6 s → 9.2 s at sf0.1. Same
+    recompute-vs-spill call as the flagship FIELDS persist; at corpus
+    scales beyond executor storage, stage d1 to parquet instead (the
+    jobs/curate.py manifest sink already is that staging table).
     """
     ts = with_textstats(documents)
     good = documents.join(
@@ -390,7 +400,9 @@ def curate_corpus(
         on="doc_id",
         how="left_semi",
     )
-    d1 = dedup.exact_dedup(good)
+    from pyspark import StorageLevel
+
+    d1 = dedup.exact_dedup(good).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = dedup.near_dup_pairs(
         d1, threshold=near_dup_threshold, max_bucket=max_bucket
     )
