@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--max-bucket", type=int, default=None)
     ap.add_argument("--ngram", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--stats-cols",
+        default=None,
+        help="comma-separated columns to zone-map in the manifests "
+        "(enables pruned_read time/range slicing of the output)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -69,7 +75,12 @@ def main() -> None:
         n=args.ngram,
     )
     stats = checkpointed_write(
-        spark, survivors, args.out, args.buckets, args.snapshot
+        spark,
+        survivors,
+        args.out,
+        args.buckets,
+        args.snapshot,
+        stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
     )
     stats["wall_sec"] = round(time.monotonic() - t0, 3)
     stats["input_docs"] = docs.count()

@@ -64,6 +64,14 @@ def main() -> None:
         "executor storage; a resumed run re-runs only unmanifested buckets "
         "of the kernel itself",
     )
+    ap.add_argument(
+        "--stats-cols",
+        default=None,
+        help="comma-separated columns to zone-map in every output's "
+        "manifests (columns absent from a given table are skipped); "
+        "enables pruned_read range slicing, e.g. invoice_date on the "
+        "invoices table",
+    )
     ap.add_argument("--master", default=None, help="override (default: env/local)")
     args = ap.parse_args()
 
@@ -93,12 +101,14 @@ def main() -> None:
         )
     else:
         frames = build_pipeline(spark, docs, media, **common)
+    stats_cols = args.stats_cols.split(",") if args.stats_cols else None
     stats = checkpointed_write(
         spark,
         frames.extracted_spans,
         args.out,
         n_buckets=args.buckets,
         input_snapshot=args.snapshot,
+        stats_cols=stats_cols,
     )
     # every side output goes through the SAME manifest protocol (VERDICT
     # r02 #3: a plain overwrite beside a checkpointed spans write meant a
@@ -113,6 +123,7 @@ def main() -> None:
             s = checkpointed_write(
                 spark, frame, flag, n_buckets=args.buckets,
                 input_snapshot=args.snapshot, key_col=key,
+                stats_cols=stats_cols,
             )
             stats[flag] = {k: s[k] for k in ("buckets_written", "buckets_skipped", "rows")}
     frames.unpersist()
