@@ -2441,6 +2441,81 @@ GROUP BY doc_id
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-language document-length quantiles (exact interpolated
+    p50/p90/p99 over n_chars) — the corpus-profile aggregate every
+    mixing recipe starts from. Exact percentile is a keyed two-phase
+    aggregate (partial digests per partition, merge per group), so one
+    shuffle keyed by the handful of languages; approximate sketches are
+    pointless at group counts this small."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fix6(F.expr("percentile(n_chars, 0.5)")).alias("p50"),
+            fix6(F.expr("percentile(n_chars, 0.9)")).alias("p90"),
+            fix6(F.expr("percentile(n_chars, 0.99)")).alias("p99"),
+        )
+    )
+
+
+SQL_LENGTH_QUANTILES = f"""
+SELECT lang, count(*) AS n_docs,
+       {_SQL_FIX6.format(x="quantile_cont(n_chars, 0.5)")} AS p50,
+       {_SQL_FIX6.format(x="quantile_cont(n_chars, 0.9)")} AS p90,
+       {_SQL_FIX6.format(x="quantile_cont(n_chars, 0.99)")} AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
+_TOPK_TOKENS = 10
+
+
+def q_token_topk(spark, sf_dir):
+    """Top-10 tokens per language by occurrence count (ties broken by
+    token asc) — the vocabulary head every corpus audit reports.
+
+    Scale shape: explode → two-level (lang, token) count with map-side
+    partial agg, then a rank window partitioned by lang over the
+    COUNTED vocabulary (one row per distinct token, sublinear in corpus
+    size by Heaps' law), never over raw occurrences. With a pathological
+    vocabulary, pre-slice the window with the sessionize_scalable
+    chunk-and-merge trick; at recipe-sized language counts this form is
+    exact and simplest."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        dedup._ensure_parallelism(docs)
+        .select("lang", dedup.normalized(F.col("text")).alias("_norm"))
+        .select("lang", F.explode_outer(F.split(F.col("_norm"), " ")).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK_TOKENS)
+        .select("lang", F.col("rank").cast("int").alias("rank"), "token", "cnt")
+    )
+
+
+SQL_TOKEN_TOPK = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split({_SQL_NORM}, ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1, 2
+)
+SELECT lang, CAST(rank AS INT) AS rank, token, cnt FROM (
+  SELECT lang, token, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank
+  FROM counts
+) WHERE rank <= {_TOPK_TOKENS}
+"""
+
+
 # --------------------------------------------------------------------------
 # zone-map pruned scan over the manifest sink
 # --------------------------------------------------------------------------
@@ -2578,6 +2653,8 @@ CATALOG: dict[str, tuple] = {
     "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
