@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--min-epochs", type=int, default=2)
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--max-file-rows", type=int, default=None)
+    ap.add_argument(
+        "--target-file-bytes", type=int, default=None,
+        help="derive the per-file row cap from the manifests' byte/row "
+        "metrics so compacted files land at or under this size "
+        "(ignored when --max-file-rows is given)",
+    )
     args = ap.parse_args()
 
     from ocr_spark.session import get_spark
@@ -47,6 +53,7 @@ def main() -> None:
         min_epochs=args.min_epochs,
         vacuum=args.vacuum,
         max_file_rows=args.max_file_rows,
+        target_file_bytes=args.target_file_bytes,
     )
     print(json.dumps(stats))
 

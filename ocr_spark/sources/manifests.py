@@ -285,6 +285,7 @@ def compact(
     vacuum: bool = False,
     max_file_rows: int | None = None,
     stats_cols: list[str] | None = None,
+    target_file_bytes: int | None = None,
 ) -> dict:
     """Rewrite ALL committed data as a single fresh epoch — one file per
     bucket — and atomically supersede the old epochs: the Iceberg
@@ -294,6 +295,12 @@ def compact(
     ``maxRecordsPerFile``): at 100 TB a bucket's single file would be
     corpus/n_buckets — splitting keeps files scan-sized while still
     collapsing the epoch-directory count to one per bucket.
+    ``target_file_bytes`` derives that cap from the manifests' own
+    byte/row metrics instead (Iceberg's target-file-size knob): the
+    recorded byte_count is the JSON-serialized row size — an upper
+    bound on columnar-compressed parquet bytes — so files come out AT
+    OR UNDER the target, never over. Explicit ``max_file_rows`` wins
+    when both are given.
 
     Concurrency: appends racing a compaction are safe (the record only
     supersedes the epochs it read; a newer epoch stays live), but TWO
@@ -339,6 +346,11 @@ def compact(
     old_epochs = [r["job_epoch"] for r in active.select("job_epoch").distinct().collect()]
     if len(old_epochs) < min_epochs:
         return {"new_epoch": None, "epochs_compacted": 0}
+
+    if target_file_bytes and not max_file_rows:
+        tot = active.agg(F.sum("byte_count"), F.sum("row_count")).collect()[0]
+        bytes_per_row = (tot[0] or 1) / max(tot[1] or 1, 1)
+        max_file_rows = max(1, int(target_file_bytes / bytes_per_row))
 
     keys = active.select("bucket", F.col("job_epoch").alias("epoch")).distinct()
     n_buckets = keys.select("bucket").distinct().count()

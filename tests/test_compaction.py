@@ -142,3 +142,22 @@ def test_compact_max_file_rows_splits_files(spark, tmp_path):
     dirs = {os.path.dirname(p) for p in files}
     assert len(dirs) == res["buckets"]
     assert sorted(map(tuple, manifests.read_committed(spark, out).collect())) == before
+
+
+def test_compact_target_file_bytes_splits_files(spark, tmp_path):
+    """target_file_bytes derives the row cap from the manifests' own
+    byte/row metrics; a target far below the table size must split
+    every bucket, and reads are unchanged."""
+    out = str(tmp_path / "out")
+    _deliveries(spark, out)
+    before = sorted(map(tuple, manifests.read_committed(spark, out).collect()))
+    m = manifests.read_manifests(spark, out)
+    total_bytes = m.groupBy().sum("byte_count").collect()[0][0]
+    res = manifests.compact(
+        spark, out, vacuum=True, target_file_bytes=max(1, total_bytes // 40)
+    )
+    files = _data_files(out)
+    assert len(files) > res["buckets"]
+    dirs = {os.path.dirname(p) for p in files}
+    assert len(dirs) == res["buckets"]
+    assert sorted(map(tuple, manifests.read_committed(spark, out).collect())) == before
