@@ -266,6 +266,55 @@ def dedup_lines_local(
     return staged.select(id_col, F.array_join(kept, "\n").alias("text_clean"))
 
 
+def unigram_logprob(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    single_pass: bool = True,
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's OWN
+    unigram distribution — the engine-portable seat of the CCNet/KenLM
+    perplexity quality filter (no trained artifact, so the DuckDB twin
+    can replay it exactly): score(doc) = Σ c·ln(count(tok)/N) / Σ c
+    over the doc's token occurrences. Gibberish and OCR noise score far
+    below template/boilerplate text, which is the split the filter
+    exists to make. Returns (doc_id, n_tok, logprob).
+
+    Same scale shape as dup_ngram_stats: occurrences collapse to
+    (doc, token, c) in one map-side-combined shuffle; corpus counts are
+    a second tiny keyed agg over the collapsed rows; the token-keyed
+    join back is AQE-skew-splittable (stopwords are exactly the hot
+    keys); final groupBy doc. The collapsed frame persists so the
+    tokenize pass runs once (column pruning would otherwise clone the
+    lineage into both consumers); ``single_pass=False`` recomputes
+    instead.
+    """
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    pg = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    if single_pass:
+        from pyspark import StorageLevel
+
+        pg = pg.persist(StorageLevel.MEMORY_AND_DISK)
+    tc = pg.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    total = tc.agg(F.sum("cnt").alias("N"))
+    scored = pg.join(tc, on="tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tok"),
+            (
+                F.sum(F.col("c") * F.log(F.col("cnt") / F.col("N")))
+                / F.sum("c")
+            ).alias("logprob"),
+        )
+    )
+
+
 def pack_chunks(
     documents: DataFrame,
     budget: int = 512,

@@ -2516,6 +2516,57 @@ SELECT lang, CAST(rank AS INT) AS rank, token, cnt FROM (
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram model (CCNet/KenLM-style quality signal, engine-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = quality.unigram_logprob(docs)
+    return out.select("doc_id", "n_tok", fix6(F.col("logprob")).alias("logprob"))
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+),
+pg AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+tc AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cnt FROM pg GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS N FROM tc)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tok,
+       {_SQL_FIX6.format(x="sum(c * ln(cnt / N)) / sum(c)")} AS logprob
+FROM pg JOIN tc USING (tok) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+def q_cluster_size_hist(spark, sf_dir):
+    """Near-dup cluster-size histogram (how much of the corpus sits in
+    2-doc vs N-doc duplicate families — the report a dedup run ships).
+    Reuses the LSH pair set and connected components; two tiny keyed
+    aggs on top."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5, max_bucket=LSH_MAX_BUCKET)
+    clusters = dedup.dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.col("size").cast("long").alias("size"), "n_clusters")
+    )
+
+
+SQL_CLUSTER_SIZE_HIST = (
+    _SQL_CLUSTERS_CTE
+    + """,
+comp AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS size FROM comp GROUP BY 1)
+SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters FROM sizes GROUP BY 1
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # zone-map pruned scan over the manifest sink
 # --------------------------------------------------------------------------
@@ -2655,6 +2706,8 @@ CATALOG: dict[str, tuple] = {
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
