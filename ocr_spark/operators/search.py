@@ -1,0 +1,105 @@
+"""Keyword search scoring over a documents table (Okapi BM25).
+
+The missing "find me the docs about X" query surface of a corpus engine,
+in the Lucene-parameterized BM25 form:
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·dl/avgdl))
+    idf(t)   = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+Scale shape — the part that matters at 10^12 docs: the query's term set
+is tiny, so the per-(doc, term) tf stream is produced by a MAP-SIDE
+``isin`` filter on the exploded tokens (non-matching tokens never leave
+the scan task); doc length is a row-local expression (no shuffle); df
+and the corpus stats are metadata-sized aggregates that broadcast back.
+The corpus itself is scanned (twice: once for lengths/stats, once for
+the filtered term stream — both column-pruned) and never reshuffled;
+the one join touching a corpus-sized frame (lengths ⨝ hits) keys on
+doc_id with AQE free to broadcast the hit side when the query is
+selective. Top-k compiles to TakeOrderedAndProject.
+
+Terms are matched against the canonical normalized form (lowered,
+whitespace-collapsed — the same normalization every dedup/textstats op
+uses), so callers pass lowercase terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup
+from ocr_spark.operators.textstats import token_count
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def bm25_scores(
+    documents: DataFrame,
+    terms: list[str],
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_terms_hit, score): BM25 score of every document that
+    contains at least one query term. Deterministic and engine-portable
+    (plain arithmetic over exact counts — the DuckDB twin replays it)."""
+    terms = sorted(set(terms))
+    lens = documents.select(
+        id_col, token_count(F.col(text_col)).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    )
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("tok"))
+        .filter(F.col("tok").isin(terms))  # map-side: non-terms never leave the scan
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    # tf↔lens keys on doc_id; tf is hit-sized, so AQE broadcasts it for
+    # selective queries and falls back to a keyed shuffle join when a
+    # stopword-like term makes the hit set corpus-sized — never forced
+    # either way
+    scored = (
+        tf.join(F.broadcast(df_t), on="tok")
+        .crossJoin(F.broadcast(stats))
+        .join(lens, on=id_col)
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("_s").alias("score"),
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 hits (ties broken by doc_id asc) — orderBy+limit so the
+    physical plan is a per-partition heap + driver merge, never a global
+    sort."""
+    scores = bm25_scores(documents, terms, **kwargs)
+    return (
+        scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

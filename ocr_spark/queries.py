@@ -28,6 +28,7 @@ from ocr_spark.operators import (
     dedup,
     enrich,
     quality,
+    search,
     similarity,
     sketch,
     textstats,
@@ -2567,6 +2568,50 @@ SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters FROM sizes GROUP BY 
 )
 
 
+# fixed search query for the BM25 catalog row (lowercase — matched
+# against the canonical normalized text form)
+_BM25_TERMS = ["shuffle", "broadcast", "spark"]
+_BM25_K = 20
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Top-20 BM25 hits for a fixed 3-term query (Lucene idf form,
+    k1=1.2, b=0.75) — the keyword-search surface of the engine."""
+    docs = _t(spark, sf_dir, "documents")
+    out = search.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+    return out.select("doc_id", "n_terms_hit", fix6(F.col("score")).alias("score"))
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    k1, b = search.DEFAULT_K1, search.DEFAULT_B
+    return f"""
+WITH terms(tok) AS (VALUES {terms}),
+lens AS (SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl FROM lens),
+toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN (SELECT tok FROM terms) GROUP BY 1, 2
+),
+dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln((N - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({k1} + 1)) / (tf + {k1} * ({1 - b} + {b} * dl / avgdl)) AS s
+  FROM tf JOIN dft USING (tok) CROSS JOIN stats JOIN lens ON lens.doc_id = tf.doc_id
+)
+SELECT doc_id, count(*) AS n_terms_hit, {_SQL_FIX6.format(x="sum(s)")} AS score
+FROM scored GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id ASC LIMIT {_BM25_K}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
 # --------------------------------------------------------------------------
 # zone-map pruned scan over the manifest sink
 # --------------------------------------------------------------------------
@@ -2708,6 +2753,7 @@ CATALOG: dict[str, tuple] = {
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),

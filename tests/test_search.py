@@ -1,0 +1,57 @@
+"""BM25 search scoring: exact-value check against an independent scalar
+implementation of the Lucene-form formula, plus ranking sanity."""
+
+from __future__ import annotations
+
+import math
+
+from ocr_spark.operators import search
+
+
+def _bm25_ref(corpus: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    out = {}
+    for d, words in toks.items():
+        s, hits = 0.0, 0
+        for t in terms:
+            tf = words.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(words) / avgdl))
+        if hits:
+            out[d] = (hits, s)
+    return out
+
+
+def test_bm25_matches_scalar_reference(spark):
+    corpus = {
+        1: "spark shuffle join broadcast shuffle",
+        2: "spark spark spark scan",
+        3: "window sort merge agg",
+        4: "broadcast broadcast join",
+        5: "shuffle",
+    }
+    terms = ["shuffle", "broadcast", "spark"]
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in search.bm25_scores(docs, terms).collect()
+    }
+    want = _bm25_ref(corpus, terms)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) < 1e-9
+    # doc 3 has no query term -> absent
+    assert 3 not in got
+    # topk ordering honors score desc
+    top = [r["doc_id"] for r in search.bm25_topk(docs, terms, k=2).collect()]
+    ranked = sorted(want, key=lambda d: (-want[d][1], d))[:2]
+    assert top == ranked
