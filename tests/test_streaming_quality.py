@@ -65,3 +65,25 @@ def test_dedup_lines_stream_equals_batch(spark, tmp_path):
     ).collect()
     want = quality.dedup_lines(docs).collect()
     assert _keyed(got) == _keyed(want)
+
+
+def test_bm25_stream_equals_batch(spark, tmp_path):
+    """Streaming BM25 against static index stats == batch bm25_scores
+    when the static corpus IS the streamed corpus."""
+    from ocr_spark.operators.search import bm25_scores
+    from ocr_spark.streaming.search import bm25_index_stats, bm25_score_stream
+
+    terms = ["shuffle", "broadcast", "spark"]
+    src, docs = _write_batched(spark, tmp_path)
+    stats = bm25_index_stats(docs, terms)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = _run_stream(
+        spark, bm25_score_stream(stream, stats, terms), tmp_path, "bm25_stream"
+    ).collect()
+    want = bm25_scores(docs, terms).collect()
+    g = {r["doc_id"]: (r["n_terms_hit"], round(r["score"], 9)) for r in got}
+    w = {r["doc_id"]: (r["n_terms_hit"], round(r["score"], 9)) for r in want}
+    assert g == w
+    assert len(g) > 0
