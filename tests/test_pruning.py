@@ -151,3 +151,25 @@ def test_all_null_group_pruned(spark, tmp_path):
     # a comparison predicate can never match an all-NULL column
     plan = mf.prune_plan(spark, out, [("v", ">=", 0)])
     assert plan["kept_groups"] == 0
+
+
+def test_crashed_epoch_invisible_to_prune_plan(spark, tmp_path):
+    """prune_plan derives paths from the ACTIVE manifests only — data
+    files from an epoch whose manifest never landed (crash between data
+    append and manifest write) are not listed, matching read_committed
+    semantics."""
+    import shutil
+
+    out = str(tmp_path / "t")
+    _write_two_deliveries(spark, out, stats_cols=["v"])
+    # simulate a crashed attempt: copy an epoch dir under a fresh epoch
+    # name with no manifest row
+    import glob as g
+
+    src = g.glob(f"{out}/data/bucket=0/epoch=*")[0]
+    shutil.copytree(src, f"{out}/data/bucket=0/epoch=deadbeefdeadbeef")
+    plan = mf.prune_plan(spark, out, [("v", ">=", 0)])
+    assert plan["kept_groups"] == 8  # not 9: the orphan dir is invisible
+    assert not any("deadbeef" in p for p in plan["paths"])
+    got = mf.pruned_read(spark, out, [("v", ">=", 0)])
+    assert got.count() == 200  # orphan rows not double-read

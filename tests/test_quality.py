@@ -168,3 +168,25 @@ def test_local_forms_equal_explode_forms(spark):
         for r in quality.dedup_lines_local(docs).collect()
     }
     assert c == d
+
+
+def test_unigram_logprob_matches_scalar_reference(spark):
+    import math
+
+    corpus = {1: "a a b", 2: "b c", 3: "a"}
+    docs = _docs(spark, list(corpus.items()))
+    got = {
+        r["doc_id"]: (r["n_tok"], round(r["logprob"], 9))
+        for r in quality.unigram_logprob(docs).collect()
+    }
+    toks = {d: t.split() for d, t in corpus.items()}
+    n_total = sum(len(t) for t in toks.values())
+    cnt = {}
+    for t in toks.values():
+        for w in t:
+            cnt[w] = cnt.get(w, 0) + 1
+    want = {}
+    for d, words in toks.items():
+        lp = sum(math.log(cnt[w] / n_total) for w in words) / len(words)
+        want[d] = (len(words), round(lp, 9))
+    assert got == want
