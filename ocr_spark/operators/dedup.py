@@ -53,6 +53,32 @@ def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.join(keep, on="doc_id", how="left_semi")
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame, indexed: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Ingest-time exact dedup (the exact-match sibling of the
+    incremental LSH index): from a NEW delivery, drop every row whose
+    canonical fingerprint already exists in the indexed corpus, then
+    exact-dedup within the delivery itself. Returns the surviving rows.
+
+    ``indexed`` is either a documents frame (fingerprints computed from
+    ``text_col``) or — the production shape — a precomputed fingerprint
+    table carrying an ``fp`` column, so a long-lived ingest pipeline
+    pays one narrow (fp) scan per delivery instead of re-hashing the
+    corpus. The anti-join keys on the 32-byte fp: the delivery side is
+    delivery-sized, the corpus side ships only fingerprints, and AQE
+    broadcasts the delivery when it is small — the corpus text never
+    moves.
+    """
+    if "fp" in indexed.columns:
+        old_fp = indexed.select("fp").distinct()
+    else:
+        old_fp = indexed.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    staged = new_docs.withColumn("fp", fingerprint(F.col(text_col)))
+    fresh = staged.join(old_fp, on="fp", how="left_anti").drop("fp")
+    return exact_dedup(fresh, text_col)
+
+
 def normalized(col: Column) -> Column:
     """Canonical text form shared by all dedup ops: lower, collapse ws."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

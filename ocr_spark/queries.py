@@ -2568,6 +2568,31 @@ SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters FROM sizes GROUP BY 
 )
 
 
+# incremental-ingest exact dedup: same 400-split as the LSH index row
+def q_incremental_exact_dedup(spark, sf_dir):
+    """New-delivery exact dedup against the indexed corpus (doc_id <
+    400 committed, >= 400 arriving): drop fingerprint matches against
+    the index, then dedup within the delivery."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") >= _LSH_IDX_SPLIT),
+        docs.filter(F.col("doc_id") < _LSH_IDX_SPLIT),
+    )
+    return out.select("doc_id")
+
+
+SQL_INCREMENTAL_EXACT_DEDUP = f"""
+WITH oldfp AS (
+  SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM documents WHERE doc_id < {_LSH_IDX_SPLIT}
+),
+new AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents WHERE doc_id >= {_LSH_IDX_SPLIT}
+),
+fresh AS (SELECT * FROM new WHERE fp NOT IN (SELECT fp FROM oldfp))
+SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp
+"""
+
+
 # fixed search query for the BM25 catalog row (lowercase — matched
 # against the canonical normalized text form)
 _BM25_TERMS = ["shuffle", "broadcast", "spark"]
@@ -2754,6 +2779,7 @@ CATALOG: dict[str, tuple] = {
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),

@@ -55,3 +55,24 @@ def test_bm25_matches_scalar_reference(spark):
     top = [r["doc_id"] for r in search.bm25_topk(docs, terms, k=2).collect()]
     ranked = sorted(want, key=lambda d: (-want[d][1], d))[:2]
     assert top == ranked
+
+
+def test_incremental_exact_dedup_fp_table_path(spark):
+    """The precomputed-fingerprint-table form must equal the
+    recompute-from-text form (the production ingest shape)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import dedup
+    from ocr_spark.operators.textstats import fingerprint
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    a = sorted(
+        r["doc_id"] for r in dedup.incremental_exact_dedup(new, old).collect()
+    )
+    fp_table = old.select(fingerprint(F.col("text")).alias("fp"))
+    b = sorted(
+        r["doc_id"] for r in dedup.incremental_exact_dedup(new, fp_table).collect()
+    )
+    assert a == b and len(a) > 0
