@@ -53,6 +53,50 @@ def kmv_sketch(values: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     )
 
 
+def kmv_sketch_by_group(
+    values: DataFrame, value_col: str, group_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV sketches from ONE pass: ``(group, rank, h, u)``
+    with rank 1..k inside each group. The rank window runs over the
+    DISTINCT (group, hash) rows — vocabulary-sized partitions, the
+    same Heaps-sublinear bound as token_topk — never over raw
+    occurrences. Mergeable per group exactly like the global sketch
+    (union, re-take the k smallest — tested)."""
+    from pyspark.sql import Window
+
+    hashes = (
+        values.select(
+            group_col, F.md5(F.col(value_col).cast("string")).alias("h")
+        )
+        .distinct()
+        .select(group_col, "h", _unit_hash(F.col("h")).alias("u"))
+    )
+    w = Window.partitionBy(group_col).orderBy("u", "h")
+    return hashes.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    ).select(group_col, "rank", "h", "u")
+
+
+def kmv_estimate_by_group(
+    values: DataFrame, value_col: str, group_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimates: ``(group, k_used, kth_u,
+    est_distinct)`` — the grouped form of :func:`kmv_estimate` (exact
+    when a group has fewer than k distinct values)."""
+    sk = kmv_sketch_by_group(values, value_col, group_col, k)
+    agg = sk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("u").alias("kth_u")
+    )
+    return agg.select(
+        group_col,
+        "k_used",
+        "kth_u",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise((F.col("k_used") - 1) / F.col("kth_u"))
+        .alias("est_distinct"),
+    )
+
+
 def kmv_estimate(values: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     """One-row distinct-count estimate: ``(k_used, kth_u, est_distinct)``.
 

@@ -2568,6 +2568,54 @@ SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters FROM sizes GROUP BY 
 )
 
 
+def q_kmv_tokens_by_lang(spark, sf_dir):
+    """Per-language distinct-token estimates from ONE pass of grouped
+    KMV sketches, next to the exact counts — the mergeable grouped form
+    of kmv_distinct_tokens."""
+    docs = dedup._ensure_parallelism(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            "lang",
+            F.split(
+                F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+            ).alias("_w"),
+        )
+        .select("lang", F.explode_outer("_w").alias("w"))
+        .filter(F.col("w").isNotNull())
+    )
+    est = sketch.kmv_estimate_by_group(words, "w", "lang", k=_KMV_K)
+    exact = words.groupBy("lang").agg(F.countDistinct("w").alias("exact_distinct"))
+    return est.join(exact, on="lang").select(
+        "lang",
+        "k_used",
+        fix6(F.col("kth_u")).alias("kth_u"),
+        fix4(F.col("est_distinct")).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+SQL_KMV_TOKENS_BY_LANG = f"""
+WITH w AS (
+  SELECT lang, unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+hs AS (SELECT DISTINCT lang, md5(w) AS h FROM w),
+sk AS (
+  SELECT lang, h, u, row_number() OVER (PARTITION BY lang ORDER BY u, h) AS rk
+  FROM (SELECT lang, h, {_SQL_KMV_U} AS u FROM hs)
+),
+agg AS (
+  SELECT lang, count(*) AS k_used, max(u) AS kth_u FROM sk WHERE rk <= {_KMV_K} GROUP BY lang
+),
+exact AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct FROM w GROUP BY lang)
+SELECT agg.lang, agg.k_used,
+       {_SQL_FIX6.format(x="agg.kth_u")} AS kth_u,
+       {_SQL_FIX4.format(x=f"CASE WHEN agg.k_used < {_KMV_K} THEN CAST(agg.k_used AS DOUBLE) ELSE (agg.k_used - 1) / agg.kth_u END")} AS est_distinct,
+       exact.exact_distinct
+FROM agg JOIN exact USING (lang)
+"""
+
+
 # incremental-ingest exact dedup: same 400-split as the LSH index row
 def q_incremental_exact_dedup(spark, sf_dir):
     """New-delivery exact dedup against the indexed corpus (doc_id <
@@ -2780,6 +2828,7 @@ CATALOG: dict[str, tuple] = {
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
+    "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),

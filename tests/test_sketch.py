@@ -61,3 +61,42 @@ def test_token_budget_sample_deterministic(spark):
     a = curation.token_budget_sample(docs, {"en": 500})
     b = curation.token_budget_sample(docs.repartition(13), {"en": 500})
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_grouped_kmv_merge_property(spark):
+    """sketch(A ∪ B) == re-take-k-smallest(sketch(A) ∪ sketch(B)) per
+    group — the property that lets per-partition sketches combine
+    without touching raw data again."""
+    vals = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 700).cast("string")).alias("v"),
+    )
+    k = 64
+    whole = sketch.kmv_sketch_by_group(vals, "v", "g", k=k)
+    ska = sketch.kmv_sketch_by_group(vals.filter(F.col("id") < 1000), "v", "g", k=k)
+    skb = sketch.kmv_sketch_by_group(vals.filter(F.col("id") >= 1000), "v", "g", k=k)
+    from pyspark.sql import Window
+
+    merged = (
+        ska.unionByName(skb)
+        .select("g", "h", "u")
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("g").orderBy("u", "h")),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    lhs = sorted(map(tuple, whole.select("g", "rank", "h").collect()))
+    rhs = sorted(map(tuple, merged.select("g", "rank", "h").collect()))
+    assert lhs == rhs
+    # grouped estimates are exact below k and within 15 % above it
+    est = {r["g"]: r for r in sketch.kmv_estimate_by_group(vals, "v", "g", k=k).collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in vals.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        e = est[g]["est_distinct"]
+        assert (e == n) if n < k else abs(e - n) / n < 0.15
