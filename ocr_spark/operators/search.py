@@ -89,6 +89,51 @@ def bm25_scores(
     )
 
 
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    single_pass: bool = True,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms by tf·idf
+    (sklearn-smooth idf = ln((1+N)/(1+df)) + 1; ties → term asc).
+    Returns (doc_id, rank, term, tf, score).
+
+    Same corpus-frequency shape as unigram_logprob — collapsed
+    (doc, term, tf) frame persisted for a single tokenize pass, tiny df
+    agg, AQE-skew-splittable term join — plus one rank window
+    partitioned BY DOC over the doc's own distinct terms (bounded by
+    the document, so no hot key at any corpus size)."""
+    from pyspark.sql import Window
+
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    pg = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if single_pass:
+        from pyspark import StorageLevel
+
+        pg = pg.persist(StorageLevel.MEMORY_AND_DISK)
+    df_t = pg.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("N"))
+    idf = F.log((F.lit(1) + F.col("N")) / (F.lit(1) + F.col("df"))) + F.lit(1.0)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        pg.join(df_t, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * idf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("int").alias("rank"), "term", "tf", "score")
+    )
+
+
 def bm25_topk(
     documents: DataFrame,
     terms: list[str],

@@ -2616,6 +2616,38 @@ FROM agg JOIN exact USING (lang)
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 tf·idf keywords per document (sklearn-smooth idf)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = search.tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "rank", "term", "tf", fix6(F.col("score")).alias("score")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS term FROM documents
+),
+pg AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pg GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, tf * (ln((1 + N) / (1 + df)) + 1.0) AS score
+  FROM pg JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
+       {_SQL_FIX6.format(x="score")} AS score
+FROM (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # incremental-ingest exact dedup: same 400-split as the LSH index row
 def q_incremental_exact_dedup(spark, sf_dir):
     """New-delivery exact dedup against the indexed corpus (doc_id <
@@ -2829,6 +2861,7 @@ CATALOG: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
