@@ -34,6 +34,9 @@ CROSS_OK = {
     "lsh_ann_topk", "ivf_ann_topk",
     # 1-row x 1-row: sketch estimate beside the exact count
     "kmv_distinct_tokens",
+    # broadcast of a ONE-ROW corpus-stats frame (N/avgdl/total tokens)
+    # into every scored row — a deliberate scalar attach, not a blow-up
+    "unigram_logprob", "bm25_topk", "tfidf_top_terms",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
