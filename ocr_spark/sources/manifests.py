@@ -355,8 +355,16 @@ def compact(
     keys = active.select("bucket", F.col("job_epoch").alias("epoch")).distinct()
     n_buckets = keys.select("bucket").distinct().count()
     new_epoch = "c" + uuid.uuid4().hex[:15]
+    # mergeSchema ALWAYS here: a later delivery may have added columns,
+    # and a compaction that read only a sampled file's schema would
+    # silently rewrite the table WITHOUT them — with vacuum, that is
+    # permanent data loss. (Lineage hashes of pre-widening deliveries are
+    # recomputed over the union schema, so they legitimately differ from
+    # the superseded rows' when schemas were heterogeneous; row counts
+    # remain the invariant.)
     data = (
-        spark.read.parquet(_data_dir(out_dir))
+        spark.read.option("mergeSchema", "true")
+        .parquet(_data_dir(out_dir))
         .join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi")
         .drop("epoch")
         .withColumn("epoch", F.lit(new_epoch))
@@ -414,16 +422,30 @@ def compact(
     }
 
 
-def read_committed(spark: SparkSession, out_dir: str, input_snapshot: str | None = None) -> DataFrame:
+def read_committed(
+    spark: SparkSession,
+    out_dir: str,
+    input_snapshot: str | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read only data whose (bucket, epoch) is manifested; crashed-epoch
-    orphan files are invisible."""
+    orphan files are invisible.
+
+    ``merge_schema=True`` unions the schemas of every live epoch
+    (columns added by later deliveries come back, null-filled for older
+    rows — parquet schema evolution). Off by default: schema merging
+    reads every file's footer at planning time, which on a wide-open
+    long-lived table is a real listing cost; flip it on when deliveries
+    are known to evolve."""
     m = active_manifests(spark, out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifests under {out_dir}")
     if input_snapshot is not None:
         m = m.filter(F.col("input_snapshot") == input_snapshot)
     keys = m.select("bucket", F.col("job_epoch").alias("epoch")).distinct()
-    data = spark.read.parquet(_data_dir(out_dir))
+    data = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
+        _data_dir(out_dir)
+    )
     out = data.join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi")
     if input_snapshot is not None and "input_snapshot" in data.columns:
         # a compacted epoch holds every delivery; slice the requested one
@@ -563,20 +585,26 @@ def pruned_read(
     out_dir: str,
     predicates: list[tuple],
     input_snapshot: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read only the committed file groups whose zone maps may satisfy
     ``predicates`` (see :func:`prune_plan`). The result is a SUPERSET of
     the matching rows — the caller applies the actual filter on top
     (which Spark then also pushes into the parquet row-group stats of
     the few files actually opened: manifest pruning and parquet
-    pushdown compose, they don't compete)."""
+    pushdown compose, they don't compete). ``merge_schema`` as on
+    :func:`read_committed` — and here the footers read are only the
+    SURVIVING groups', so evolution support rides the pruning for free."""
+    ms = str(merge_schema).lower()
     plan = prune_plan(spark, out_dir, predicates, input_snapshot)
     data_dir = _data_dir(out_dir)
     if not plan["paths"]:
         # schema-only read; the false filter folds to an empty relation
-        out = spark.read.parquet(data_dir).where(F.lit(False))
+        out = spark.read.option("mergeSchema", ms).parquet(data_dir).where(F.lit(False))
     else:
-        out = spark.read.option("basePath", data_dir).parquet(*plan["paths"])
+        out = spark.read.option("mergeSchema", ms).option("basePath", data_dir).parquet(
+            *plan["paths"]
+        )
     if input_snapshot is not None and "input_snapshot" in out.columns:
         out = out.filter(F.col("input_snapshot") == input_snapshot)
     return out.drop("bucket", "epoch", "input_snapshot")

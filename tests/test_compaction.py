@@ -161,3 +161,35 @@ def test_compact_target_file_bytes_splits_files(spark, tmp_path):
     dirs = {os.path.dirname(p) for p in files}
     assert len(dirs) == res["buckets"]
     assert sorted(map(tuple, manifests.read_committed(spark, out).collect())) == before
+
+
+def test_schema_evolution_survives_reads_and_compaction(spark, tmp_path):
+    """A later delivery adds a column: merge_schema=True reads it back
+    (null-filled for older rows), and compaction MUST carry it — a
+    sampled-schema rewrite plus vacuum would otherwise lose the column
+    permanently."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out")
+    d1 = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("doc_id"), F.lit("a").alias("text")
+    )
+    d2 = spark.range(10, 20).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("b").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    manifests.checkpointed_write(spark, d1, out, 2, "s1")
+    manifests.checkpointed_write(spark, d2, out, 2, "s2")
+
+    merged = manifests.read_committed(spark, out, merge_schema=True)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    langs = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert langs["5"] is None and langs["15"] == "en"
+
+    res = manifests.compact(spark, out, key_col="doc_id", vacuum=True)
+    assert res["epochs_compacted"] == 2
+    after = manifests.read_committed(spark, out)  # post-compaction: one schema
+    assert set(after.columns) == {"doc_id", "text", "lang"}
+    assert after.count() == 20
+    assert {r["doc_id"]: r["lang"] for r in after.collect()} == langs
