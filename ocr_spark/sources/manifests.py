@@ -64,6 +64,50 @@ def with_bucket(
     )
 
 
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "meta.json")
+
+
+def _write_table_meta(
+    out_dir: str, n_buckets: int, salt: int, key_col: str, key_type: str
+) -> None:
+    """Record the bucketing spec once per table so point-lookup readers
+    need no out-of-band parameters. The key's Spark dtype is part of the
+    spec: xxhash64 is TYPE-sensitive (hash of long 5 != hash of '5'), so
+    a lookup must build its literal keys with the writer's type. First
+    writer wins; a later writer with a DIFFERENT spec is a caller bug
+    (its rows would land in buckets existing readers never probe), so it
+    raises."""
+    import json as _json
+
+    path = _meta_path(out_dir)
+    spec = {"n_buckets": n_buckets, "salt": salt, "key_col": key_col, "key_type": key_type}
+    if os.path.exists(path):
+        have = _json.loads(open(path).read())
+        if have != spec:
+            raise ValueError(
+                f"bucketing spec drift for {out_dir}: table has {have}, write used {spec}"
+            )
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps(spec))
+    os.replace(tmp, path)
+
+
+def read_table_meta(out_dir: str) -> dict | None:
+    """The table's bucketing spec, or None for pre-meta tables. (Plain
+    local-file form, like compact's vacuum step; an object-storage
+    deployment swaps in a put-if-absent — one seam, same contract.)"""
+    import json as _json
+
+    path = _meta_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    return _json.loads(open(path).read())
+
+
 def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _manifest_dir(out_dir)
     try:
@@ -202,6 +246,9 @@ def checkpointed_write(
     (resume semantics); the epoch id isolates this attempt's files.
     """
     epoch = uuid.uuid4().hex[:16]
+    _write_table_meta(
+        out_dir, n_buckets, salt, key_col, df.schema[key_col].dataType.simpleString()
+    )
     # input_snapshot rides IN the data files (dictionary-encodes to ~0
     # bytes: constant per write) so cross-snapshot compaction can merge
     # epochs while readers still slice one delivery out of a merged file
@@ -607,4 +654,54 @@ def pruned_read(
         )
     if input_snapshot is not None and "input_snapshot" in out.columns:
         out = out.filter(F.col("input_snapshot") == input_snapshot)
+    return out.drop("bucket", "epoch", "input_snapshot")
+
+
+def lookup_read(
+    spark: SparkSession,
+    out_dir: str,
+    keys: list,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Point lookup: return exactly the committed rows whose key is in
+    ``keys``, reading ONLY the buckets those keys hash to — O(k/n_buckets)
+    of the table instead of a full scan, on top of whatever epochs are
+    live. The key→bucket map is computed by the same JVM xxhash64
+    expression the writer used (one driver-sized job over the literal
+    key list — Python cannot reproduce Spark's xxhash64, so asking the
+    JVM is the only honest way), the bucketing spec comes from the
+    table's meta.json, and the final exact filter runs inside the few
+    files actually opened (where it also hits parquet row-group and
+    dictionary pushdown on the key column)."""
+    meta = read_table_meta(out_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no meta.json under {out_dir} (pre-meta table)")
+    key_col = key_col or meta["key_col"]
+    keys = list(keys)
+    if not keys:
+        return read_committed(spark, out_dir).where(F.lit(False))
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys], f"`{key_col}` {meta['key_type']}"
+    )
+    buckets = {
+        r["bucket"]
+        for r in with_bucket(kdf, meta["n_buckets"], meta["salt"], key_col)
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    m = active_manifests(spark, out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifests under {out_dir}")
+    live = [
+        (r["bucket"], r["job_epoch"])
+        for r in m.select("bucket", "job_epoch").distinct().collect()
+        if r["bucket"] in buckets
+    ]
+    data_dir = _data_dir(out_dir)
+    if not live:
+        return read_committed(spark, out_dir).where(F.lit(False))
+    paths = [os.path.join(data_dir, f"bucket={b}", f"epoch={e}") for b, e in sorted(live)]
+    out = spark.read.option("basePath", data_dir).parquet(*paths)
+    out = out.filter(F.col(key_col).isin(keys))
     return out.drop("bucket", "epoch", "input_snapshot")

@@ -173,3 +173,47 @@ def test_crashed_epoch_invisible_to_prune_plan(spark, tmp_path):
     assert not any("deadbeef" in p for p in plan["paths"])
     got = mf.pruned_read(spark, out, [("v", ">=", 0)])
     assert got.count() == 200  # orphan rows not double-read
+
+
+def test_lookup_read_points(spark, tmp_path):
+    """Point lookups read only the keys' hash buckets and return exactly
+    the committed rows for those keys — with the writer's key TYPE
+    honored (xxhash64 is type-sensitive)."""
+    out = str(tmp_path / "t")
+    _write_two_deliveries(spark, out, stats_cols=None)  # doc_id is string
+    meta = mf.read_table_meta(out)
+    assert meta["n_buckets"] == 4 and meta["key_col"] == "doc_id"
+    assert meta["key_type"] == "string"
+
+    got = mf.lookup_read(spark, out, ["d00007", "d01050", "nope"])
+    rows = {r["doc_id"]: r["v"] for r in got.collect()}
+    assert rows == {"d00007": 7, "d01050": 1050}
+
+    # long-keyed table: same lookup path, different hash domain
+    out2 = str(tmp_path / "t2")
+    longs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 10).alias("v")
+    )
+    mf.checkpointed_write(spark, longs, out2, n_buckets=8, input_snapshot="s1")
+    assert mf.read_table_meta(out2)["key_type"] == "bigint"
+    got2 = {r["doc_id"]: r["v"] for r in mf.lookup_read(spark, out2, [3, 41]).collect()}
+    assert got2 == {3: 30, 41: 410}
+
+    # empty key list and missing keys degrade to empty, schema intact
+    assert mf.lookup_read(spark, out2, []).count() == 0
+    assert mf.lookup_read(spark, out2, [999]).count() == 0
+
+
+def test_meta_spec_drift_raises(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _write_two_deliveries(spark, out, stats_cols=None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spec drift"):
+        mf.checkpointed_write(
+            spark,
+            _delivery(spark, 0, 10, "2024-01-05"),
+            out,
+            n_buckets=16,  # different modulus -> existing readers would miss rows
+            input_snapshot="s3",
+        )
