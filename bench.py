@@ -64,6 +64,11 @@ EXTRA = [
     "kmv_distinct_tokens",
     "dup_ngram_stats",
     "pruned_scan",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "unigram_logprob",
+    "token_topk",
+    "length_quantiles",
 ]
 
 
