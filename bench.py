@@ -178,6 +178,15 @@ def main() -> None:
         spark.range(2_000_000).mapInPandas(_burn, "x double").collect()
         py_canary_sec = round(time.monotonic() - t0, 3)
 
+        # IO canary: fixed parquet list+scan (the synth corpus documents
+        # dir). CPU canaries miss IO-degraded windows — observed warm
+        # LSH-index probes at 5.2 s and 8.9 s under IDENTICAL healthy CPU
+        # canaries; this pins down which kind of slow the host is.
+        io_dir = os.path.join(synth_dir(n_docs), "documents")
+        t0 = time.monotonic()
+        spark.read.parquet(io_dir).selectExpr("sum(length(doc_id))").collect()
+        io_canary_sec = round(time.monotonic() - t0, 3)
+
         flagship = run_flagship(spark, n_docs, repeat=args.repeat)
         queries: dict[str, float] = {"extraction_pipeline": flagship["sec"]}
         if not args.flagship_only:
@@ -221,6 +230,7 @@ def main() -> None:
                     "extraction_outputs": "extracted_spans+invoices",
                     "host_canary_sec": host_canary_sec,
                     "py_canary_sec": py_canary_sec,
+                    "io_canary_sec": io_canary_sec,
                 }
             )
         )
