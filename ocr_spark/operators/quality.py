@@ -315,6 +315,81 @@ def unigram_logprob(
     )
 
 
+def unigram_model(
+    corpus: DataFrame,
+    vocab_size: int = 50_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram LM artifact: rows ``(tok, lp, oov_lp, n_total)`` — the
+    top-``vocab_size`` tokens by corpus count (ties → token asc) with
+    their ln(count/N); ``oov_lp`` = ln(0.5/N) is the floor every
+    out-of-vocabulary token scores (constant per row, dictionary-encodes
+    to nothing on disk).
+
+    This is the deployable form of the CCNet/KenLM quality filter: the
+    model is a FIXED artifact built once from a reference corpus
+    (TakeOrdered head — per-partition heap, never a global sort), then
+    applied to anything — including unbounded streams — without
+    touching the corpus again. Head truncation keeps the artifact
+    broadcastable (50k rows ≈ a few MB) at any corpus size; Heaps' law
+    puts almost all token mass in the head, and OOV tokens get the
+    floor, exactly like a real LM's unknown-word penalty. NOT a map
+    column on purpose: Spark's map element_at is a linear scan, so a
+    50k-entry in-row map would cost O(vocab) per token — the broadcast
+    hash join below is the O(1) lookup."""
+    toks = (
+        dedup._ensure_parallelism(corpus)
+        .select(dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(F.explode_outer(F.split(F.col("_norm"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tc.agg(F.sum("cnt").alias("n_total"))
+    return (
+        tc.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)  # TakeOrderedAndProject: per-partition heap
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.log(F.col("cnt") / F.col("n_total")).alias("lp"),
+            F.log(F.lit(0.5) / F.col("n_total")).alias("oov_lp"),
+            "n_total",
+        )
+    )
+
+
+def score_with_unigram_model(
+    documents: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tok, logprob): mean token log-probability under a
+    fixed :func:`unigram_model` artifact — explode → broadcast hash
+    join against the model head (left join; misses coalesce to the OOV
+    floor) → per-doc mean. The groupBy keys on the doc id whose tokens
+    all live in one input row, so under ``foreachBatch`` every doc
+    completes within its micro-batch — the streaming form needs no
+    state and no watermark (tested stream == batch). Docs with zero
+    tokens produce no row."""
+    oov = F.broadcast(model.select("oov_lp").limit(1))
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    scored = toks.join(
+        F.broadcast(model.select("tok", "lp")), on="tok", how="left"
+    ).crossJoin(oov)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        (
+            F.sum(F.coalesce(F.col("lp"), F.col("oov_lp"))) / F.count(F.lit(1))
+        ).alias("logprob"),
+    )
+
+
 def pack_chunks(
     documents: DataFrame,
     budget: int = 512,

@@ -2542,6 +2542,40 @@ GROUP BY doc_id
 """
 
 
+# small head so the fixture corpus actually exercises the OOV floor
+_UNIGRAM_VOCAB = 150
+
+
+def q_unigram_model_score(spark, sf_dir):
+    """Mean token log-prob under a FIXED truncated unigram model (the
+    deployable CCNet/KenLM form: 150-token head + OOV floor) — built
+    from the corpus, then applied by broadcast join."""
+    docs = _t(spark, sf_dir, "documents")
+    model = quality.unigram_model(docs, vocab_size=_UNIGRAM_VOCAB)
+    out = quality.score_with_unigram_model(docs, model)
+    return out.select("doc_id", "n_tok", fix6(F.col("logprob")).alias("logprob"))
+
+
+SQL_UNIGRAM_MODEL_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+tc AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM tc),
+head AS (
+  SELECT tok, ln(cnt / n_total) AS lp FROM tc CROSS JOIN total
+  ORDER BY cnt DESC, tok ASC LIMIT {_UNIGRAM_VOCAB}
+),
+oov AS (SELECT ln(0.5 / n_total) AS oov_lp FROM total)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       {_SQL_FIX6.format(x="sum(coalesce(lp, oov_lp)) / count(*)")} AS logprob
+FROM t2 LEFT JOIN head USING (tok) CROSS JOIN oov
+GROUP BY doc_id
+"""
+
+
 def q_cluster_size_hist(spark, sf_dir):
     """Near-dup cluster-size histogram (how much of the corpus sits in
     2-doc vs N-doc duplicate families — the report a dedup run ships).
@@ -2858,6 +2892,7 @@ CATALOG: dict[str, tuple] = {
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
+    "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),

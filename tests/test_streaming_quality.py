@@ -87,3 +87,36 @@ def test_bm25_stream_equals_batch(spark, tmp_path):
     w = {r["doc_id"]: (r["n_terms_hit"], round(r["score"], 9)) for r in want}
     assert g == w
     assert len(g) > 0
+
+
+def test_unigram_model_score_stream_equals_batch(spark, tmp_path):
+    """Scoring under a FIXED unigram model inside foreachBatch: each
+    doc's tokens live in one row, so the per-doc agg completes within
+    its micro-batch — no state, and the union of batch outputs equals
+    the batch operator."""
+    src, docs = _write_batched(spark, tmp_path)
+    model = quality.unigram_model(docs, vocab_size=150).cache()
+    model.count()  # build the artifact once, outside the stream
+
+    got_rows = []
+
+    def sink(batch_df, _bid):
+        got_rows.extend(
+            quality.score_with_unigram_model(batch_df, model).collect()
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lmscore"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = quality.score_with_unigram_model(docs, model).collect()
+    g = {r["doc_id"]: (r["n_tok"], round(r["logprob"], 9)) for r in got_rows}
+    w = {r["doc_id"]: (r["n_tok"], round(r["logprob"], 9)) for r in want}
+    assert g == w and len(g) == docs.count()
