@@ -2542,6 +2542,66 @@ GROUP BY doc_id
 """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel analysis over the events stream: per user, the
+    earliest 'view', the earliest 'click' strictly after it, and the
+    earliest 'purchase' strictly after that — the classic product
+    funnel, as three conditional user-keyed aggregations (each step's
+    type filter pushes into the scan; no windows, no per-user event
+    lists, so a hot user costs only their rows' agg). Returns
+    (user_id, t1, t2, t3, furthest_step)."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = s1.join(s2, on="user_id", how="left").join(s3, on="user_id", how="left")
+    furthest = (
+        F.when(F.col("t3").isNotNull(), F.lit(3))
+        .when(F.col("t2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return out.select("user_id", "t1", "t2", "t3", furthest.alias("furthest_step"))
+
+
+SQL_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS furthest_step
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 # small head so the fixture corpus actually exercises the OOV floor
 _UNIGRAM_VOCAB = 150
 
@@ -2893,6 +2953,7 @@ CATALOG: dict[str, tuple] = {
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
     "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
+    "funnel": (q_funnel, SQL_FUNNEL),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
