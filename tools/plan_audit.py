@@ -36,7 +36,7 @@ CROSS_OK = {
     "kmv_distinct_tokens",
     # broadcast of a ONE-ROW corpus-stats frame (N/avgdl/total tokens)
     # into every scored row — a deliberate scalar attach, not a blow-up
-    "unigram_logprob", "bm25_topk", "tfidf_top_terms",
+    "unigram_logprob", "bm25_topk", "tfidf_top_terms", "unigram_model_score",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
