@@ -2542,6 +2542,62 @@ GROUP BY doc_id
 """
 
 
+def q_rollup_stats(spark, sf_dir):
+    """Corpus inventory with subtotals: docs and chars per (source,
+    lang), per source, and grand total — GROUP BY ROLLUP, the
+    one-shuffle form of the three aggregations a report would otherwise
+    run separately (Spark expands the grouping sets inside a single
+    keyed agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "n_chars",
+        )
+    )
+
+
+SQL_ROLLUP_STATS = """
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
+_PIVOT_LANGS = ["en", "fr", "de", "und"]
+
+
+def q_pivot_lang_tokens(spark, sf_dir):
+    """Token totals per source pivoted to one column per language — the
+    wide report shape. Spark's pivot is a single grouped aggregation
+    with the pivot values fixed up front (passing them avoids the extra
+    distinct-scan pivot otherwise runs to discover them)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "lang", textstats.token_count(F.col("text")).alias("n_tok")
+    )
+    out = toks.groupBy("source").pivot("lang", _PIVOT_LANGS).sum("n_tok")
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(lang), F.lit(0)).alias(f"tok_{lang}") for lang in _PIVOT_LANGS],
+    )
+
+
+SQL_PIVOT_LANG_TOKENS = f"""
+SELECT source,
+       {", ".join(f"CAST(coalesce(sum(CASE WHEN lang = '{lang}' THEN {_SQL_NTOK} END), 0) AS BIGINT) AS tok_{lang}" for lang in _PIVOT_LANGS)}
+FROM documents
+GROUP BY source
+"""
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -2954,6 +3010,8 @@ CATALOG: dict[str, tuple] = {
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
     "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
+    "pivot_lang_tokens": (q_pivot_lang_tokens, SQL_PIVOT_LANG_TOKENS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
