@@ -31,6 +31,7 @@ from ocr_spark.operators import (
     search,
     similarity,
     sketch,
+    temporal,
     textstats,
 )
 from ocr_spark.sources import manifests
@@ -2939,6 +2940,98 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# temporal joins (as-of, interval overlap)
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_SEC = 21600.0  # 6 h attribution window
+
+
+def q_asof_attribution(spark, sf_dir):
+    """Purchase→view as-of attribution: each purchase joined to the same
+    user's most recent view at-or-before it, nulled beyond a 6 h window
+    — the classic last-touch attribution query, via the union-and-window
+    as-of join (ONE shuffle, no row amplification; the naive ``>=``
+    theta-join Spark would plan as a nested loop). The DuckDB twin uses
+    the engine's native ASOF JOIN — an independent algorithm, so a hash
+    match checks semantics, not implementation echoes. Views pre-dedup
+    to one row per (user, ts) so tie-breaks can't differ across engines."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return temporal.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        right_cols=["view_id"],
+        tolerance=_ASOF_TOL_SEC,
+        matched_ts="view_ts",
+    )
+
+
+SQL_ASOF_ATTRIBUTION = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_id FROM events
+  WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.user_id, p.purchase_id, p.ts,
+       CASE WHEN epoch(p.ts) - epoch(v.ts) <= {_ASOF_TOL_SEC} THEN v.ts END AS view_ts,
+       CASE WHEN epoch(p.ts) - epoch(v.ts) <= {_ASOF_TOL_SEC} THEN v.view_id END AS view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Error/purchase time-window correlation per user (which purchases
+    landed within ±2 h of an error) via the bucketized interval join —
+    hash join on (user, hour-bin) equality, never a nested loop. The
+    DuckDB twin is the plain inequality join (DuckDB plans it as an
+    IEJoin), so the oracle is again a different algorithm."""
+    ev = _t(spark, sf_dir, "events")
+    two_h = F.expr("INTERVAL 2 HOURS")
+
+    def win(etype: str, id_alias: str, s: str, e: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(s),
+            (F.col("ts") + two_h).alias(e),
+        )
+
+    errs = win("error", "err_id", "err_start", "err_end")
+    buys = win("purchase", "buy_id", "buy_start", "buy_end")
+    out = temporal.interval_join(
+        errs, buys, on="user_id",
+        left_start="err_start", left_end="err_end",
+        right_start="buy_start", right_end="buy_end",
+        bucket=3600.0,
+    )
+    return out.select("user_id", "err_id", "buy_id")
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH e AS (
+  SELECT user_id, event_id AS err_id, ts AS s, ts + INTERVAL 2 HOUR AS en
+  FROM events WHERE event_type = 'error'
+),
+b AS (
+  SELECT user_id, event_id AS buy_id, ts AS s, ts + INTERVAL 2 HOUR AS en
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id, e.err_id, b.buy_id
+FROM e JOIN b ON e.user_id = b.user_id AND e.s <= b.en AND b.s <= e.en
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -3016,6 +3109,8 @@ CATALOG: dict[str, tuple] = {
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
+    "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
