@@ -397,3 +397,110 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style clustered embedding dedup
+# --------------------------------------------------------------------------
+
+
+def _probe_list_ids(vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids for a vector (cosine argmax,
+    ties to the lower cid — same ordering as ``_nearest_centroid``)."""
+    return F.transform(
+        F.slice(F.array_sort(_centroid_sims(vec, centroids)), 1, nprobe),
+        lambda s: s["cid"],
+    )
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_lists: int = 16,
+    nprobe: int = 1,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs the SemDeDup way (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, then
+    compare pairs ONLY within a cluster — the all-pairs O(N²) cosine
+    matrix becomes n_lists independent O((N/n_lists)²) blocks. Returns
+    ``(list_id, a, b, sim)`` with ``a < b`` and ``sim >= threshold``,
+    each pair once (its smallest shared list).
+
+    ``nprobe > 1`` assigns each vector to its nprobe nearest clusters —
+    the standard recall fix for pairs that straddle a centroid boundary
+    (amplification = nprobe per row, dedup = one keyed agg). For true
+    near-duplicates (sim → 1) both ends share a nearest centroid and
+    nprobe=1 already finds them; looser thresholds want nprobe 2-3.
+
+    Scale shape: the centroid table is a driver-side literal, assignment
+    is one map-side expression pass, and the only shuffles are the
+    (list_id) self-join and the pair dedup. Join parallelism equals
+    n_lists·nprobe, and per-cluster work is quadratic in cluster size —
+    size n_lists ~ N/target_cluster_rows (SemDeDup used 50k clusters for
+    LAION-440M) so blocks stay bounded; AQE splits stragglers.
+    """
+    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col, refine_iters)
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            _probe_list_ids(F.col(vec_col), centroids, nprobe)
+        ).alias("list_id"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a = assigned.select(
+        "list_id",
+        F.col("id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, on="list_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+        # a multi-probe pair can share several lists — keep one row
+        .groupBy("a", "b")
+        .agg(F.min("list_id").alias("list_id"), F.min("sim").alias("sim"))
+        .select("list_id", "a", "b", "sim")
+    )
+
+
+def semantic_keep_one(
+    embeddings: DataFrame,
+    threshold: float,
+    n_lists: int = 16,
+    nprobe: int = 1,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Survivor ids after semantic dedup: connected components over the
+    within-cluster pairs, keep the min-id representative of each — the
+    decision SemDeDup ships (it keeps the lowest-similarity-to-centroid
+    member; min-id is the deterministic engine-portable stand-in)."""
+    from ocr_spark.operators.dedup import dedup_clusters
+
+    pairs = semantic_dup_pairs(
+        embeddings, threshold, n_lists, nprobe, refine_iters, id_col, vec_col
+    )
+    clusters = dedup_clusters(
+        pairs.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    )
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("__drop")
+    )
+    return embeddings.join(
+        F.broadcast(dropped),
+        embeddings[id_col] == F.col("__drop"),
+        how="left_anti",
+    ).select(id_col)

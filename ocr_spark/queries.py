@@ -2940,6 +2940,115 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# SemDeDup-style clustered embedding dedup
+# --------------------------------------------------------------------------
+
+# bounded corpus slice so the DuckDB twin's within-cluster pair scan stays
+# tractable at sf0.01 (the operator itself is unbounded — the blocks shrink
+# as n_lists grows with the corpus)
+_SEM_MAX_ID = 2000
+_SEM_LISTS = 8
+_SEM_NPROBE = 2
+_SEM_THRESHOLD = 0.35
+
+
+def _sem_embeddings(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _SEM_MAX_ID)
+
+
+def q_semantic_dup_pairs(spark, sf_dir):
+    """SemDeDup candidate pairs: md5-seeded centroids (refine_iters=0 so
+    the oracle can replay the clustering), 2-probe assignment, within-
+    cluster cosine ≥ 0.35. The DuckDB twin recomputes the whole
+    construction from the same primitives — seeds by md5 rank, argmax
+    assignment, block self-join — so a hash match proves the clustered
+    path, not just the cosine."""
+    emb = _sem_embeddings(spark, sf_dir)
+    out = similarity.semantic_dup_pairs(
+        emb,
+        threshold=_SEM_THRESHOLD,
+        n_lists=_SEM_LISTS,
+        nprobe=_SEM_NPROBE,
+        refine_iters=0,
+    )
+    return out.select("list_id", "a", "b", fix6(F.col("sim")).alias("sim"))
+
+
+def _sql_semantic_pairs() -> str:
+    cosq = (
+        f"({_sql_dot('a.v', 'b.v')}) / (a.nrm * b.nrm)"
+    )
+    return f"""
+emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SEM_MAX_ID}),
+seeds AS (
+  SELECT embedding,
+         row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS cid
+  FROM emb ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT {_SEM_LISTS}
+),
+csims AS (
+  SELECT e.vec_id, e.embedding, s.cid,
+         ({_sql_dot('e.embedding', 's.embedding')}) /
+         (sqrt({_sql_dot('e.embedding', 'e.embedding')}) * sqrt({_sql_dot('s.embedding', 's.embedding')})) AS sim
+  FROM emb e CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id AS id, embedding AS v, cid AS list_id,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM csims
+  ) WHERE rn <= {_SEM_NPROBE}
+),
+sempairs AS (
+  SELECT min(list_id) AS list_id, a, b, min(sim) AS sim FROM (
+    SELECT a.list_id, a.id AS a, b.id AS b, {cosq} AS sim
+    FROM assigned a JOIN assigned b ON a.list_id = b.list_id AND a.id < b.id
+  ) WHERE sim >= {_SEM_THRESHOLD}
+  GROUP BY a, b
+)"""
+
+
+SQL_SEMANTIC_DUP_PAIRS = f"""
+WITH {_sql_semantic_pairs()}
+SELECT list_id, a, b, {_SQL_FIX6.format(x="sim")} AS sim FROM sempairs
+"""
+
+
+def q_semantic_keep_one(spark, sf_dir):
+    """Survivors after semantic dedup (min-id representative per
+    connected component of the pair graph). DuckDB twin: same pair
+    construction + recursive transitive closure — an independent
+    components algorithm, like near_dup_keep_one's."""
+    emb = _sem_embeddings(spark, sf_dir)
+    out = similarity.semantic_keep_one(
+        emb,
+        threshold=_SEM_THRESHOLD,
+        n_lists=_SEM_LISTS,
+        nprobe=_SEM_NPROBE,
+        refine_iters=0,
+    )
+    return out.select("vec_id")
+
+
+SQL_SEMANTIC_KEEP_ONE = f"""
+WITH RECURSIVE {_sql_semantic_pairs()},
+edges AS (
+  SELECT a, b FROM sempairs
+  UNION
+  SELECT b, a FROM sempairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS m FROM nodes
+  UNION
+  SELECT r.node, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT vec_id FROM emb
+WHERE vec_id NOT IN (SELECT node FROM reach GROUP BY node HAVING min(m) <> node)
+"""
+
+
+# --------------------------------------------------------------------------
 # temporal joins (as-of, interval overlap)
 # --------------------------------------------------------------------------
 
@@ -3111,6 +3220,8 @@ CATALOG: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
     "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
+    "semantic_keep_one": (q_semantic_keep_one, SQL_SEMANTIC_KEEP_ONE),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
