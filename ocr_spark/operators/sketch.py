@@ -115,3 +115,141 @@ def kmv_estimate(values: DataFrame, value_col: str, k: int = 256) -> DataFrame:
         .otherwise((F.col("k_used") - 1) / F.col("kth_u"))
         .alias("est_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch (heavy-hitter frequency estimation)
+# --------------------------------------------------------------------------
+
+
+def _cms_bucket(row: Column, value: Column, width: int) -> Column:
+    """Row-r hash bucket of a value: md5("r:value") prefix mod width —
+    the d pairwise-independent hash functions of Cormode & Muthukrishnan
+    2005, realized as salted md5 so BOTH engines compute the identical
+    table (Spark's xxhash64/DuckDB's hash never agree)."""
+    h = F.md5(F.concat(row.cast("string"), F.lit(":"), value))
+    return F.conv(F.substring(h, 1, _PREFIX_HEX), 16, 10).cast("long") % width
+
+
+def cms_sketch(
+    values: DataFrame, value_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min sketch of a value column as rows ``(r, b, cnt)`` —
+    depth×width counters, est(v) = min over rows of counter[r][bucket_r(v)]
+    (always ≥ the true count; error ≤ 2·N/width w.p. 1−2^−depth).
+
+    Mergeable (sum counters cell-wise) and engine-portable: integer
+    counts + md5 buckets, so even the sketch VALUE oracles.
+
+    Scale shape: occurrences first collapse to ``(value, cnt)`` — a
+    map-side-combining keyed agg over the corpus — and the depth-explode
+    walks that vocabulary-sized frame, never the raw occurrences; the
+    final agg is depth·width rows regardless of corpus size.
+    """
+    vc = values.groupBy(F.col(value_col).cast("string").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rows = vc.select(
+        "v", "cnt", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    )
+    return (
+        rows.select("r", _cms_bucket(F.col("r"), F.col("v"), width).alias("b"), "cnt")
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point frequency estimates ``(v, est_cnt)`` for each distinct query
+    value: min over the sketch's depth rows, 0 when a bucket was never
+    touched. The sketch side is depth·width rows — broadcast — so the
+    probe is a map-side join however many queries arrive."""
+    probes = (
+        queries.select(F.col(value_col).cast("string").alias("v"))
+        .distinct()
+        .select(
+            "v", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+        )
+        .select("v", "r", _cms_bucket(F.col("r"), F.col("v"), width).alias("b"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), on=["r", "b"], how="left")
+        .groupBy("v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-bin histogram quantile estimation
+# --------------------------------------------------------------------------
+
+
+def hist_bins(
+    values: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Equi-width histogram ``(b, cnt)`` over [lo, hi); values outside
+    clamp into the edge bins. One keyed agg with map-side combine,
+    n_bins rows out — and cell-wise ADDITIVE, so per-partition/per-day
+    histograms merge by summing (the property engine-private quantile
+    sketches like GK/KLL can't give an oracle for)."""
+    w = (float(hi) - float(lo)) / n_bins
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(float(lo))) / F.lit(w)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return values.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hist_quantiles(
+    values: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Histogram-interpolated quantile estimates ``(q, est)``: walk the
+    cumulative bin counts to the covering bin of target = q·N, then
+    interpolate linearly inside it — error bounded by one bin width for
+    in-range data. The cumulative window runs over n_bins rows (a
+    driver-bounded constant), never over the data."""
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / n_bins
+    bins = hist_bins(values, value_col, lo, hi, n_bins)
+    # both windows run over the ≤ n_bins histogram rows, so the single
+    # partition is a bounded constant — and the input is scanned ONCE
+    # (a separate total agg would clone the scan subplan)
+    cum = bins.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "n",
+        F.max("cum").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hits = (
+        cum.select("b", "cnt", "cum", "n", qdf)
+        .withColumn("target", F.col("q") * F.col("n"))
+        .filter(
+            (F.col("cum") >= F.col("target"))
+            & ((F.col("cum") - F.col("cnt")) < F.col("target"))
+        )
+    )
+    est = F.lit(float(lo)) + F.lit(w) * (
+        F.col("b") + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return hits.select("q", est.alias("est"))

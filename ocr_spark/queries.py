@@ -2940,6 +2940,103 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# count-min sketch + histogram quantiles (mergeable stats sketches)
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256  # small enough that collisions actually inflate estimates
+_CMS_TOPN = 20
+
+
+def q_cms_token_counts(spark, sf_dir):
+    """Heavy-hitter check of the count-min sketch: estimated vs exact
+    counts for the top-20 tokens. est ≥ exact always (CMS never
+    undercounts); width=256 forces real collisions so the row proves the
+    estimator, not a perfect hash. The exact side exists only for the
+    report — the sketch itself is one keyed-agg pass."""
+    docs = dedup._ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = (
+        docs.select(dedup.normalized(F.col("text")).alias("_n"))
+        .select(F.explode_outer(F.split("_n", " ")).alias("v"))
+        .filter(F.col("v") != "")
+    )
+    sk = sketch.cms_sketch(toks, "v", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    top = (
+        toks.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("v").asc())
+        .limit(_CMS_TOPN)
+    )
+    est = sketch.cms_estimate(sk, top, "v", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return top.join(est, on="v").select(
+        F.col("v").alias("token"), "exact_cnt", "est_cnt"
+    )
+
+
+SQL_CMS_TOKEN_COUNTS = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS v FROM documents
+),
+t2 AS (SELECT v FROM toks WHERE v <> ''),
+vc AS (SELECT v, count(*) AS cnt FROM t2 GROUP BY 1),
+d(r) AS (VALUES (0), (1), (2), (3)),
+cms AS (
+  SELECT r, CAST('0x' || substring(md5(r || ':' || v), 1, 15) AS BIGINT) % {_CMS_WIDTH} AS b,
+         sum(cnt) AS cnt
+  FROM vc CROSS JOIN d GROUP BY 1, 2
+),
+top AS (SELECT v, cnt AS exact_cnt FROM vc ORDER BY cnt DESC, v ASC LIMIT {_CMS_TOPN}),
+probes AS (
+  SELECT t.v, d.r,
+         CAST('0x' || substring(md5(d.r || ':' || t.v), 1, 15) AS BIGINT) % {_CMS_WIDTH} AS b
+  FROM top t CROSS JOIN d
+)
+SELECT t.v AS token, CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est_cnt
+FROM top t JOIN probes p ON t.v = p.v
+LEFT JOIN cms ON p.r = cms.r AND p.b = cms.b
+GROUP BY 1, 2
+"""
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 900.0, 105000.0, 200
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_BINS
+_HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """p50/p90/p99 of l_extendedprice from a 200-bin mergeable histogram
+    (error ≤ one bin width — asserted vs the exact percentile in
+    tests/test_sketch_cms_hist.py). Unlike GK/KLL sketches the histogram
+    VALUE is engine-portable, so the estimate itself oracles."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = sketch.hist_quantiles(
+        li, "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_BINS, list(_HIST_QS)
+    )
+    return out.select("q", fix6(F.col("est")).alias("est"))
+
+
+SQL_HIST_QUANTILES = f"""
+WITH binned AS (
+  SELECT CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - {_HIST_LO!r}) / {_HIST_W!r}), 0), {_HIST_BINS - 1}) AS BIGINT) AS b,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT b, cnt,
+         CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM binned
+),
+qs(q) AS (VALUES (CAST({_HIST_QS[0]!r} AS DOUBLE)), (CAST({_HIST_QS[1]!r} AS DOUBLE)), (CAST({_HIST_QS[2]!r} AS DOUBLE)))
+SELECT q,
+       {_SQL_FIX6.format(x=f"{_HIST_LO!r} + {_HIST_W!r} * (b + (q * n - (cum - cnt)) / cnt)")} AS est
+FROM cum CROSS JOIN qs
+WHERE cum >= q * n AND (cum - cnt) < q * n
+"""
+
+
+# --------------------------------------------------------------------------
 # SemDeDup-style clustered embedding dedup
 # --------------------------------------------------------------------------
 
@@ -3222,6 +3319,8 @@ CATALOG: dict[str, tuple] = {
     "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
     "semantic_keep_one": (q_semantic_keep_one, SQL_SEMANTIC_KEEP_ONE),
+    "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
+    "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
