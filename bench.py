@@ -69,6 +69,12 @@ EXTRA = [
     "unigram_logprob",
     "token_topk",
     "length_quantiles",
+    # round-3 continuation: temporal joins, semantic dedup, stats sketches
+    "asof_attribution",
+    "interval_overlap",
+    "semantic_dup_pairs",
+    "cms_token_counts",
+    "hist_quantiles",
 ]
 
 

@@ -2939,6 +2939,58 @@ GROUP BY 1
 """
 
 
+# point lookup through key blooms: orders re-landed as 3 key-disjoint
+# deliveries; the probe's keys live in ONE delivery, so the other two
+# epochs' groups are bloom-pruned before listing (asserted in
+# tests/test_bloom_lookup.py at the operator level)
+_BLOOM_LOOKUP_KEYS = [3, 57, 411, 999_999_999]  # three present, one absent
+_BLOOM_SINK_CACHE: dict[str, str] = {}
+
+
+def _bloom_orders_sink(spark, sf_dir) -> str:
+    out = _BLOOM_SINK_CACHE.get(sf_dir)
+    if out is not None:
+        return out
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ocr_spark_bloomlkp_")
+    orders = _t(spark, sf_dir, "orders")
+    for snap, lo, hi in (("d0", 0, 500), ("d1", 500, 1000), ("d2", 1000, 1 << 40)):
+        manifests.checkpointed_write(
+            spark,
+            orders.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)),
+            out,
+            n_buckets=4,
+            input_snapshot=snap,
+            key_col="o_orderkey",
+            bloom_key=True,
+        )
+    _BLOOM_SINK_CACHE[sf_dir] = out
+    return out
+
+
+def q_bloom_point_lookup(spark, sf_dir):
+    """Point lookup by key through the manifest sink's bucket hashing +
+    per-group key blooms. The oracle is the same key-set selection over
+    the raw table, so a hash match proves the pruned read returns
+    exactly the committed rows — bloom pruning is a superset guarantee
+    with the exact filter re-applied on top."""
+    out = _bloom_orders_sink(spark, sf_dir)
+    got = manifests.lookup_read(spark, out, _BLOOM_LOOKUP_KEYS)
+    return got.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", money2(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+
+
+SQL_BLOOM_POINT_LOOKUP = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       {_SQL_MONEY2.format(x="o_totalprice")} AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey IN ({", ".join(str(k) for k in _BLOOM_LOOKUP_KEYS)})
+"""
+
+
 # --------------------------------------------------------------------------
 # count-min sketch + histogram quantiles (mergeable stats sketches)
 # --------------------------------------------------------------------------
@@ -3321,6 +3373,7 @@ CATALOG: dict[str, tuple] = {
     "semantic_keep_one": (q_semantic_keep_one, SQL_SEMANTIC_KEEP_ONE),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "bloom_point_lookup": (q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),

@@ -111,7 +111,11 @@ def read_table_meta(out_dir: str) -> dict | None:
 def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _manifest_dir(out_dir)
     try:
-        return spark.read.parquet(path)
+        # mergeSchema unconditionally: manifest dirs are metadata-sized
+        # (footer cost trivial) and columns HAVE been added over the sink's
+        # life (col_stats, key_bloom) — a sampled-schema read of a mixed
+        # table would silently drop them and with them the pruning power
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException as e:
         if _is_path_missing(e):  # first run: no manifests yet
             return None
@@ -121,7 +125,7 @@ def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
 def read_compactions(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _compactions_dir(out_dir)
     try:
-        return spark.read.parquet(path)
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException as e:
         if _is_path_missing(e):  # never compacted
             return None
@@ -140,14 +144,16 @@ _MANIFEST_COLS = [
 
 def _manifest_view(df: DataFrame) -> DataFrame:
     """Project a manifest/compaction frame to the canonical columns,
-    tolerating tables written before zone-map stats existed (col_stats
-    absent → null)."""
-    stats = (
-        F.col("col_stats")
-        if "col_stats" in df.columns
-        else F.lit(None).cast("string")
+    tolerating tables written before zone-map stats / key blooms existed
+    (absent → null)."""
+
+    def opt(c: str):
+        return F.col(c) if c in df.columns else F.lit(None).cast("string")
+
+    return df.select(
+        *_MANIFEST_COLS, opt("col_stats").alias("col_stats"),
+        opt("key_bloom").alias("key_bloom"),
     )
-    return df.select(*_MANIFEST_COLS, stats.alias("col_stats"))
 
 
 def _stats_aggs(stats_cols: list[str]) -> list:
@@ -184,6 +190,133 @@ def _stats_json(stats_cols: list[str] | None):
             ]
         )
     )
+
+
+# --------------------------------------------------------------------------
+# key bloom filters (per-file-group membership pruning for point lookups)
+# --------------------------------------------------------------------------
+
+# 4096 bits / 5 hashes ≈ 1 % false positives at ~400 distinct keys per
+# group, ~2.7 % at 1000 — and a group's bloom saturating to all-ones just
+# disables pruning for that group, never correctness
+_BLOOM_M = 4096
+_BLOOM_K = 5
+
+# key dtypes whose Spark cast-to-string the driver can reproduce exactly
+# (str(int) == CAST(bigint AS STRING)); float keys are excluded — their
+# string forms diverge, and nobody point-looks-up by float
+_BLOOM_KEY_TYPES = {"string", "bigint", "int", "smallint", "tinyint"}
+
+
+def _bloom_positions_expr(key: "F.Column", m: int, k: int) -> "F.Column":
+    """array<long> of the k bloom bit positions of a key — salted md5,
+    the same portable construction every sketch in this repo uses."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{h}:"), key.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for h in range(k)
+        ]
+    )
+
+
+def _bloom_frame(
+    written: DataFrame, key_col: str, group_cols: list[str], m: int, k: int
+) -> DataFrame:
+    """Per-group key bloom: ``(group_cols..., key_bloom)`` where
+    key_bloom is self-describing JSON ``{"m","k","bits"}`` and bits is
+    the m-bit bitmap as m/64 big-endian 16-hex-digit words (word w =
+    positions [64w, 64w+63]).
+
+    One keyed agg over the delivery's rows (delivery-sized, not
+    table-sized): positions dedupe map-side, pack into ≤ m/64 words per
+    group via bit_or, and the hex assembly walks a ≤ m-bit map per
+    group — the output is one ~1 KB string per file group."""
+    nwords = m // 64
+    pos = written.select(
+        *group_cols,
+        F.explode(_bloom_positions_expr(F.col(key_col), m, k)).alias("pos"),
+    ).distinct()
+    words = (
+        pos.select(
+            *group_cols,
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    wm = F.map_from_entries(F.collect_list(F.struct("word", "bits")))
+    hexbits = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda w: F.lpad(F.hex(F.coalesce(F.element_at(F.col("_wm"), w), F.lit(0))), 16, "0"),
+        ),
+    )
+    return (
+        words.groupBy(*group_cols)
+        .agg(wm.alias("_wm"))
+        .select(
+            *group_cols,
+            F.concat(
+                F.lit('{"m":%d,"k":%d,"bits":"' % (m, k)), hexbits, F.lit('"}')
+            ).alias("key_bloom"),
+        )
+    )
+
+
+def _live_bloom_spec(manifests: DataFrame | None) -> tuple[int, int] | None:
+    """(m, k) of the live manifests' key blooms, or None if the table
+    never recorded any (one non-null row is representative — a table's
+    writers share the spec like they share the bucketing)."""
+    if manifests is None or "key_bloom" not in manifests.columns:
+        return None
+    head = (
+        manifests.filter(F.col("key_bloom").isNotNull()).select("key_bloom").head(1)
+    )
+    if not head:
+        return None
+    spec = json.loads(head[0][0])
+    return int(spec["m"]), int(spec["k"])
+
+
+def _bloom_may_contain(bloom_json: str | None, key_strs: list[str]) -> bool:
+    """Driver-side membership test: can this file group contain ANY of
+    the keys? None / unparsable bloom → True (pruning is only ever a
+    superset guarantee). md5 is engine-portable, so Python reproduces
+    the writer's positions exactly."""
+    import hashlib
+
+    if not bloom_json:
+        return True
+    try:
+        spec = json.loads(bloom_json)
+        m, k, bits_hex = spec["m"], spec["k"], spec["bits"]
+        words = [
+            int(bits_hex[i * 16 : (i + 1) * 16], 16) for i in range(m // 64)
+        ]
+    except (ValueError, KeyError, IndexError):
+        return True
+    for s in key_strs:
+        if all(
+            (
+                words[p // 64] >> (p % 64)
+            )
+            & 1
+            for p in (
+                int(hashlib.md5(f"{h}:{s}".encode()).hexdigest()[:15], 16) % m
+                for h in range(k)
+            )
+        ):
+            return True
+    return False
 
 
 def active_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -225,10 +358,23 @@ def checkpointed_write(
     lineage_cols: list[str] | None = None,
     key_col: str = "doc_id",
     stats_cols: list[str] | None = None,
+    bloom_key: bool = False,
 ) -> dict:
     """Write ``df`` bucket-partitioned with manifests, bucketing on
     ``key_col`` (doc_id for document-keyed tables; e.g. invoice_id for
     the goals table, which carries no doc_id).
+
+    ``bloom_key=True`` additionally records a per-bucket bloom filter of
+    the key column in the manifest row (self-describing JSON, ~1 KB).
+    :func:`lookup_read` then skips (bucket, epoch) groups whose bloom
+    rejects every probed key — the within-bucket EPOCH dimension hash
+    bucketing can't prune: a year of daily deliveries leaves ~365 live
+    epochs per bucket, and a point lookup for last week's keys opens
+    ~7 of them instead of all 365 (the Iceberg/Parquet bloom analogue,
+    lifted to the manifest so skipped groups are never even listed).
+    Costs one extra delivery-sized keyed agg at write time. Requires an
+    integer or string key (the driver must reproduce Spark's
+    cast-to-string exactly); silently skipped otherwise.
 
     ``stats_cols`` adds a per-bucket zone map (min/max/null-count for
     each named column) to the manifest row — the Iceberg
@@ -312,6 +458,12 @@ def checkpointed_write(
             _stats_json(stats_cols).alias("col_stats"),
         )
     )
+    key_type = df.schema[key_col].dataType.simpleString()
+    if bloom_key and key_type in _BLOOM_KEY_TYPES:
+        blooms = _bloom_frame(written, key_col, ["bucket"], _BLOOM_M, _BLOOM_K)
+        manifest = manifest.join(F.broadcast(blooms), on="bucket", how="left")
+    else:
+        manifest = manifest.withColumn("key_bloom", F.lit(None).cast("string"))
     manifest.write.mode("append").parquet(_manifest_dir(out_dir))
     stats = read_manifests(spark, out_dir).filter(F.col("job_epoch") == epoch)
     agg = stats.agg(F.count(F.lit(1)), F.sum("row_count")).collect()[0]
@@ -452,6 +604,19 @@ def compact(
             F.array(*[F.lit(e) for e in old_epochs]).alias("superseded"),
         )
     )
+    # keep lookup-pruning power across compactions: if the live manifests
+    # carried key blooms, rebuild them per (bucket, delivery) with the
+    # same spec
+    bloom_spec = _live_bloom_spec(active)
+    if bloom_spec is not None:
+        blooms = _bloom_frame(
+            written, key_col, ["bucket", "input_snapshot"], *bloom_spec
+        )
+        record = record.join(
+            F.broadcast(blooms), on=["bucket", "input_snapshot"], how="left"
+        )
+    else:
+        record = record.withColumn("key_bloom", F.lit(None).cast("string"))
     # single-file append = the atomic commit point
     record.coalesce(1).write.mode("append").parquet(_compactions_dir(out_dir))
 
@@ -657,51 +822,96 @@ def pruned_read(
     return out.drop("bucket", "epoch", "input_snapshot")
 
 
-def lookup_read(
+def lookup_plan(
     spark: SparkSession,
     out_dir: str,
     keys: list,
     key_col: str | None = None,
-) -> DataFrame:
-    """Point lookup: return exactly the committed rows whose key is in
-    ``keys``, reading ONLY the buckets those keys hash to — O(k/n_buckets)
-    of the table instead of a full scan, on top of whatever epochs are
-    live. The key→bucket map is computed by the same JVM xxhash64
-    expression the writer used (one driver-sized job over the literal
-    key list — Python cannot reproduce Spark's xxhash64, so asking the
-    JVM is the only honest way), the bucketing spec comes from the
-    table's meta.json, and the final exact filter runs inside the few
-    files actually opened (where it also hits parquet row-group and
-    dictionary pushdown on the key column)."""
+    use_bloom: bool = True,
+) -> dict:
+    """Driver-side point-lookup pruning plan: which committed
+    (bucket, epoch) file groups can contain any of ``keys``. Two stages:
+
+    1. hash bucketing — keys map to buckets via the writer's own JVM
+       xxhash64 expression (one driver-sized job over the literal key
+       list; Python cannot reproduce Spark's xxhash64), so only those
+       buckets' groups are candidates;
+    2. key blooms (when the manifests carry them and the key dtype's
+       string form is driver-reproducible) — a surviving bucket's
+       individual EPOCHS are tested against each manifest row's bloom,
+       pruning the dimension bucketing can't touch: deliveries that
+       never saw any probed key.
+
+    Returns {"paths", "key_col", "kept_groups", "total_groups",
+    "bloom_pruned"} — paths is [] when nothing can match.
+    """
     meta = read_table_meta(out_dir)
     if meta is None:
         raise FileNotFoundError(f"no meta.json under {out_dir} (pre-meta table)")
     key_col = key_col or meta["key_col"]
     keys = list(keys)
     if not keys:
-        return read_committed(spark, out_dir).where(F.lit(False))
+        return {
+            "paths": [],
+            "key_col": key_col,
+            "kept_groups": 0,
+            "total_groups": 0,
+            "bloom_pruned": 0,
+        }
     kdf = spark.createDataFrame(
         [(k,) for k in keys], f"`{key_col}` {meta['key_type']}"
     )
-    buckets = {
-        r["bucket"]
-        for r in with_bucket(kdf, meta["n_buckets"], meta["salt"], key_col)
-        .select("bucket")
-        .distinct()
+    bucket_keys: dict[int, list[str]] = {}
+    for r in (
+        with_bucket(kdf, meta["n_buckets"], meta["salt"], key_col)
+        .select("bucket", F.col(key_col).cast("string").alias("_ks"))
         .collect()
-    }
+    ):
+        bucket_keys.setdefault(r["bucket"], []).append(r["_ks"])
     m = active_manifests(spark, out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifests under {out_dir}")
-    live = [
-        (r["bucket"], r["job_epoch"])
-        for r in m.select("bucket", "job_epoch").distinct().collect()
-        if r["bucket"] in buckets
-    ]
-    data_dir = _data_dir(out_dir)
-    if not live:
+    rows = m.select("bucket", "job_epoch", "key_bloom").collect()  # metadata-sized
+    total = len({(r["bucket"], r["job_epoch"]) for r in rows})
+    check_bloom = use_bloom and meta["key_type"] in _BLOOM_KEY_TYPES
+    groups: dict[tuple, bool] = {}
+    for r in rows:
+        ks = bucket_keys.get(r["bucket"])
+        if ks is None:
+            continue  # bucket holds none of the keys
+        key = (r["bucket"], r["job_epoch"])
+        admit = _bloom_may_contain(r["key_bloom"], ks) if check_bloom else True
+        groups[key] = groups.get(key, False) or admit
+    kept = sorted(k for k, keep in groups.items() if keep)
+    return {
+        "paths": [
+            os.path.join(_data_dir(out_dir), f"bucket={b}", f"epoch={e}")
+            for b, e in kept
+        ],
+        "key_col": key_col,
+        "kept_groups": len(kept),
+        "total_groups": total,
+        "bloom_pruned": len(groups) - len(kept),
+    }
+
+
+def lookup_read(
+    spark: SparkSession,
+    out_dir: str,
+    keys: list,
+    key_col: str | None = None,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Point lookup: return exactly the committed rows whose key is in
+    ``keys``, reading ONLY the file groups :func:`lookup_plan` keeps —
+    O(k/n_buckets) of the table via hash bucketing, times the bloom cut
+    across live epochs — and the final exact filter runs inside the few
+    files actually opened (where it also hits parquet row-group and
+    dictionary pushdown on the key column)."""
+    plan = lookup_plan(spark, out_dir, keys, key_col, use_bloom)
+    key_col = plan["key_col"]
+    if not plan["paths"]:
         return read_committed(spark, out_dir).where(F.lit(False))
-    paths = [os.path.join(data_dir, f"bucket={b}", f"epoch={e}") for b, e in sorted(live)]
-    out = spark.read.option("basePath", data_dir).parquet(*paths)
-    out = out.filter(F.col(key_col).isin(keys))
+    out = spark.read.option("basePath", _data_dir(out_dir)).parquet(*plan["paths"])
+    out = out.filter(F.col(key_col).isin(list(keys)))
     return out.drop("bucket", "epoch", "input_snapshot")
