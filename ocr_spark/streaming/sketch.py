@@ -1,0 +1,122 @@
+"""Streaming sketch maintenance: count-min and histogram state kept
+incrementally under ``foreachBatch``.
+
+Both sketches are cell-wise ADDITIVE (sum counters on matching keys —
+the property tests/test_sketch_cms_hist.py pins), so the streaming form
+needs no stateful operator at all: each micro-batch builds its own
+delivery-sized sketch and merges it into a bounded on-disk state table
+(depth×width rows for CMS, n_bins rows for the histogram — constant,
+whatever the stream's volume). That sidesteps Spark's one-aggregation
+limit on streams (the CMS is a two-level agg) AND gives restart
+idempotency: the commit pointer records the last merged batch id, so a
+replayed micro-batch is a no-op — the same epoch-guard shape as the
+manifest sink.
+
+State layout (same plain-filesystem commit protocol as manifests.py —
+an object-storage deployment swaps the pointer swap for put-if-absent)::
+
+    <state_dir>/versions/v<batch_id>/   parquet sketch snapshot
+    <state_dir>/HEAD                    {"version", "last_batch_id"}
+
+HEAD is replaced atomically (os.replace), so readers always see a
+complete snapshot; superseded versions stay for a later vacuum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.sketch import cms_sketch, hist_bins
+
+
+def _head_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "HEAD")
+
+
+def read_head(state_dir: str) -> dict | None:
+    path = _head_path(state_dir)
+    if not os.path.exists(path):
+        return None
+    return json.loads(open(path).read())
+
+
+def read_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The current committed sketch snapshot, or None before the first
+    micro-batch commits."""
+    head = read_head(state_dir)
+    if head is None:
+        return None
+    return spark.read.parquet(head["version"])
+
+
+def _merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    build: Callable[[DataFrame], DataFrame],
+    keys: list[str],
+) -> None:
+    spark = batch_df.sparkSession
+    head = read_head(state_dir)
+    if head is not None and batch_id <= head["last_batch_id"]:
+        return  # replayed micro-batch after a restart: already merged
+    sk = build(batch_df)
+    if head is not None:
+        prev = spark.read.parquet(head["version"])
+        sk = prev.unionByName(sk).groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+    vdir = os.path.join(state_dir, "versions", f"v{batch_id}")
+    sk.coalesce(1).write.mode("overwrite").parquet(vdir)
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _head_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"version": vdir, "last_batch_id": batch_id}))
+    os.replace(tmp, _head_path(state_dir))
+
+
+def cms_stream_writer(
+    stream_values: DataFrame,
+    value_col: str,
+    state_dir: str,
+    depth: int = 4,
+    width: int = 512,
+):
+    """``writeStream`` writer maintaining a live count-min sketch of a
+    streaming value column. ``read_sketch_state`` at any point returns a
+    sketch EQUAL to the batch ``cms_sketch`` over everything committed
+    so far (tested across micro-batch boundaries and restarts)."""
+    return stream_values.writeStream.foreachBatch(
+        lambda df, bid: _merge_batch(
+            df,
+            bid,
+            state_dir,
+            lambda b: cms_sketch(b, value_col, depth, width),
+            ["r", "b"],
+        )
+    )
+
+
+def hist_stream_writer(
+    stream_values: DataFrame,
+    value_col: str,
+    state_dir: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+):
+    """Streaming equi-width histogram — same incremental-merge contract
+    as :func:`cms_stream_writer`; feed the committed state to
+    ``sketch.hist_quantiles``'s interpolation for live quantiles."""
+    return stream_values.writeStream.foreachBatch(
+        lambda df, bid: _merge_batch(
+            df,
+            bid,
+            state_dir,
+            lambda b: hist_bins(b, value_col, lo, hi, n_bins),
+            ["b"],
+        )
+    )
