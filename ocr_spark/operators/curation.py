@@ -408,3 +408,49 @@ def curate_corpus(
     )
     d2 = dedup.near_dup_keep_one(d1, pairs)
     return decontaminate(d2, bench, n=n)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weight-proportional sample WITHOUT replacement of
+    ``n`` rows (Efraimidis & Spirakis 2006, A-ES): each row draws
+    u = md5-unit(salt:id) and the n SMALLEST exponential draws
+    -ln(u)/weight win (equivalently the n largest u^(1/weight) of the
+    original formulation — ln is the overflow-safe monotone transform).
+    Inclusion probability is proportional to weight,
+    reproducible under any engine or partitioning (no RNG state), and
+    the selection is a TakeOrderedAndProject (per-partition heap +
+    driver merge of n rows), never a global sort. Rows with weight <= 0
+    or null are excluded — they'd have zero inclusion probability.
+
+    This is the weight-aware sibling of :func:`stratified_sample`
+    (uniform within group) and :func:`token_budget_sample` (greedy
+    prefix): "sample 10k docs proportional to token count" is the
+    data-mixing form recipes actually specify.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "_aes_key", -F.log(u) / w
+    )
+    return (
+        keyed.orderBy(F.col("_aes_key").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_aes_key")
+    )

@@ -2991,6 +2991,29 @@ FROM orders WHERE o_orderkey IN ({", ".join(str(k) for k in _BLOOM_LOOKUP_KEYS)}
 """
 
 
+_WSAMPLE_N = 50
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic A-ES sample of 50 docs proportional to n_chars —
+    the weight-aware member of the sampling family (n smallest exponential
+    draws -ln(u)/w; TakeOrdered, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.weighted_sample(docs, n=_WSAMPLE_N, weight_col="n_chars")
+    return out.select("doc_id", "n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln(CAST('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             / CAST({float(1 << 60)} AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars FROM keyed ORDER BY k ASC, doc_id ASC LIMIT {_WSAMPLE_N}
+"""
+
+
 # --------------------------------------------------------------------------
 # count-min sketch + histogram quantiles (mergeable stats sketches)
 # --------------------------------------------------------------------------
@@ -3374,6 +3397,7 @@ CATALOG: dict[str, tuple] = {
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "bloom_point_lookup": (q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     # rows-only (non-SQL-expressible / pipeline-backed)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),

@@ -171,3 +171,62 @@ def test_curate_corpus_each_stage_drops_its_target(spark):
     bench = _bench(spark, [(99, "benchmark secret eval question answer span here now")])
     survivors = {r.doc_id for r in curation.curate_corpus(docs, bench).collect()}
     assert survivors == {1}
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    rows = [(i, float(1 + (i * 7) % 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r.doc_id for r in curation.weighted_sample(df, 25, "w").collect()
+    )
+
+    def key(i, w):
+        u = (
+            int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16)
+            / float(1 << 60)
+        )
+        return -math.log(u) / w
+
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda t: (key(*t), t[0]))[:25]
+    )
+    assert got == want
+
+
+def test_weighted_sample_partition_invariant_and_weight_rules(spark):
+    rows = [(i, float(i % 5)) for i in range(200)]  # i%5==0 → weight 0: excluded
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r.doc_id for r in curation.weighted_sample(df, 30, "w").collect())
+    b = sorted(
+        r.doc_id
+        for r in curation.weighted_sample(df.repartition(7), 30, "w").collect()
+    )
+    assert a == b
+    assert all(i % 5 != 0 for i in a)
+    # different salt → different (deterministic) sample
+    c = sorted(
+        r.doc_id for r in curation.weighted_sample(df, 30, "w", salt=1).collect()
+    )
+    assert c != a
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Statistical sanity over many salts: rows with 9x the weight are
+    picked ~9x as often when sampling 1-of-many."""
+    rows = [(i, 9.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double").cache()
+    heavy = 0
+    for salt in range(60):
+        picked = curation.weighted_sample(df, 1, "w", salt=salt).collect()[0].doc_id
+        heavy += picked < 50
+    # heavy mass fraction = 450/900 = 0.5 → expect ~30/60; uniform would
+    # give ~6/60. Wide tolerance keeps the test deterministic-stable.
+    assert 18 <= heavy <= 42
