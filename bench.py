@@ -75,6 +75,10 @@ EXTRA = [
     "semantic_dup_pairs",
     "cms_token_counts",
     "hist_quantiles",
+    # round-3 continuation: hybrid retrieval, substring-level dedup, DSIR
+    "hybrid_topk",
+    "substring_dedup",
+    "dsir_select",
 ]
 
 

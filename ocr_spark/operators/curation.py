@@ -182,6 +182,98 @@ def dup_ngram_stats(
     )
 
 
+def substring_dedup(
+    documents: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level deduplication — the training-data rule from
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") at word n-gram granularity: every occurrence of an n-token
+    window that appears more than once ANYWHERE in the corpus (cross-doc
+    or repeated inside one doc) is removed, except the globally-first
+    occurrence (min (doc_id, pos)). Overlapping duplicated windows merge
+    through the removed-position union, so a shared 20-token passage
+    disappears as one contiguous span, not window-by-window.
+
+    Returns one row per input doc over the canonical normalized token
+    stream: (doc_id, n_tokens, n_removed, text_kept). Docs shorter than
+    n tokens carry no windows and survive whole.
+
+    Shuffle shape at scale: the occurrence stream carries only
+    (doc_id, pos, 32-B md5) rows — never text; (1) groupBy window-hash
+    (count + min-occurrence — hot boilerplate hashes are AQE-skew-split),
+    (2) hash-keyed join marking cut occurrences, (3) cut positions
+    re-keyed by doc (dup-volume-sized, usually ≪ token count), then the
+    token arrays are re-derived from a second column-pruned scan and the
+    span removal is ROW-LOCAL (positional HOF filter against the doc's
+    sorted removed-position set — O(L·k) in-row comparisons, the price
+    of never shuffling the token stream itself; a heavily-duplicated doc
+    is bounded by its own length). A suffix array finds duplicates of
+    every length; fixing the window at n and unioning overlaps is the
+    standard distributed approximation (any duplicated run ≥ n tokens is
+    still fully removed — runs < n are kept, which the paper's 50-token
+    threshold also deliberately ignores)."""
+    documents = dedup._ensure_parallelism(documents)
+    toks = documents.select(
+        id_col, dedup.normalized(F.col(text_col)).alias("_norm")
+    ).select(id_col, F.split(F.col("_norm"), " ").alias("_w"))
+    whashes = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        toks.select(id_col, whashes.alias("_wh"))
+        .select(id_col, F.posexplode_outer("_wh").alias("pos", "wh"))
+        .filter(F.col("wh").isNotNull())
+    )
+    dup = (
+        occ.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct(id_col, "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") > 1)
+    )
+    cuts = (
+        occ.join(dup, on="wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"first.{id_col}"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    rem = (
+        cuts.select(
+            id_col,
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1)).alias("_span"),
+        )
+        .select(id_col, F.explode_outer("_span").alias("rp"))
+        .filter(F.col("rp").isNotNull())
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("rp")).alias("_rm"))
+    )
+    return (
+        toks.join(rem, on=id_col, how="left")
+        .withColumn("_rm", F.coalesce(F.col("_rm"), F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.size("_w").cast("long").alias("n_tokens"),
+            F.size("_rm").cast("long").alias("n_removed"),
+            F.array_join(
+                F.filter("_w", lambda x, i: ~F.array_contains(F.col("_rm"), i)),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+
+
 def contamination_pairs(
     documents: DataFrame,
     bench: DataFrame,

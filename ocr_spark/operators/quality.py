@@ -390,6 +390,106 @@ def score_with_unigram_model(
     )
 
 
+def dsir_importance(
+    documents: DataFrame,
+    target_model: DataFrame,
+    source_model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tok, llr): per-document log importance ratio under two
+    fixed :func:`unigram_model` artifacts — llr = Σ_tok (lp_target −
+    lp_source), the DSIR estimator (Xie et al. 2023, "Data Selection
+    via Importance Resampling") with unigram features. OOV tokens fall
+    to each model's own floor, so a token outside BOTH heads contributes
+    their floor difference, not zero.
+
+    One tokenize pass, two broadcast hash joins (both model heads are
+    vocab-truncated artifacts, a few MB at any corpus size), one doc-keyed
+    agg — the fused form of scoring twice with
+    :func:`score_with_unigram_model`, at half the explode cost."""
+    oov_t = F.broadcast(
+        target_model.select(F.col("oov_lp").alias("_oov_t")).limit(1)
+    )
+    oov_s = F.broadcast(
+        source_model.select(F.col("oov_lp").alias("_oov_s")).limit(1)
+    )
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    scored = (
+        toks.join(
+            F.broadcast(target_model.select("tok", F.col("lp").alias("_lp_t"))),
+            on="tok",
+            how="left",
+        )
+        .join(
+            F.broadcast(source_model.select("tok", F.col("lp").alias("_lp_s"))),
+            on="tok",
+            how="left",
+        )
+        .crossJoin(oov_t)
+        .crossJoin(oov_s)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(
+            F.coalesce(F.col("_lp_t"), F.col("_oov_t"))
+            - F.coalesce(F.col("_lp_s"), F.col("_oov_s"))
+        ).alias("llr"),
+    )
+
+
+def dsir_select(
+    documents: DataFrame,
+    target: DataFrame,
+    n: int,
+    vocab_size: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """DSIR data selection: resample ``n`` documents from the raw corpus
+    with probability ∝ exp(llr), shifting the selection toward the
+    target distribution (Xie et al. 2023). Deterministic Gumbel-key form
+    of A-ES sampling without replacement: with w = exp(llr) the A-ES key
+    −ln(u)/w would overflow/underflow for |llr| in the hundreds (any
+    long document), so the ln-monotone transform is applied instead —
+    key = ln(−ln u) − llr — and the n SMALLEST keys win, which is
+    order-identical. u is the same salted-md5 unit draw every sampler
+    here uses (engine-portable, no RNG state).
+
+    Returns the selected (doc_id, n_tok, llr) rows via
+    TakeOrderedAndProject (per-partition heap, no global sort). The two
+    model builds each scan their corpus once; the scoring pass is
+    :func:`dsir_importance`'s single tokenize."""
+    tgt = unigram_model(target, vocab_size, text_col)
+    src = unigram_model(documents, vocab_size, text_col)
+    imp = dsir_importance(documents, tgt, src, text_col, id_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    key = F.log(-F.log(u)) - F.col("llr")
+    return (
+        imp.withColumn("_gumbel", key)
+        .orderBy(F.col("_gumbel").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_gumbel")
+    )
+
+
 def pack_chunks(
     documents: DataFrame,
     budget: int = 512,

@@ -148,3 +148,48 @@ def bm25_topk(
         scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranklists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranklists (Cormack et al. 2009):
+    score(d) = Σ_lists 1/(k + rank_list(d)), missing-from-a-list
+    contributes nothing. The standard way to hybridize lexical (BM25)
+    and semantic (embedding) retrieval without score calibration —
+    ranks are comparable when raw scores never are.
+
+    Returns ``(id, rrf_score, rank)`` for the fused top ``topn``.
+
+    Scale shape: the inputs are already top-k ranklists (k rows each,
+    driver-bounded), so every join here is a few-row broadcast; the
+    corpus was only touched by the upstream retrievers.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    scored = None
+    score_cols = []
+    for i, rl in enumerate(ranklists):
+        col = f"_rrf{i}"
+        score_cols.append(col)
+        part = rl.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k) + F.col(rank_col).cast("int"))).alias(col),
+        )
+        scored = part if scored is None else scored.join(part, on=id_col, how="full_outer")
+    total = reduce(
+        lambda a, b: a + b, [F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols]
+    )
+    fused = scored.select(F.col(id_col), total.alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(topn)
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -2443,6 +2443,57 @@ GROUP BY doc_id
 """
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 semantics at 8-gram
+    granularity): remove every duplicated 8-token window occurrence
+    except the globally-first, merging overlaps — one row per doc with
+    the surviving text."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.substring_dedup(docs, n=8)
+
+
+def _sql_substring_dedup(n: int = 8) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS wh
+  FROM d, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY wh) AS cnt
+  FROM occ
+),
+cuts AS (SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1),
+rem AS (
+  SELECT DISTINCT doc_id, pos + j AS rp
+  FROM cuts, UNNEST(generate_series(0, {n - 1})) AS s(j)
+),
+tok AS (
+  SELECT doc_id, i - 1 AS p, w[i] AS tk
+  FROM d, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tk
+  FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.p = r.rp
+  WHERE r.rp IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(tk, ' ' ORDER BY p) AS text_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.text_kept, '') AS text_kept
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_SUBSTRING_DEDUP = _sql_substring_dedup()
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language document-length quantiles (exact interpolated
     p50/p90/p99 over n_chars) — the corpus-profile aggregate every
@@ -2693,6 +2744,71 @@ GROUP BY doc_id
 """
 
 
+_DSIR_N = 50
+_DSIR_TARGET_LANG = "fr"
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): pick 50 docs whose
+    unigram distribution resembles the French subset — target and source
+    unigram models (150-token heads + OOV floors), per-doc log importance
+    ratio, deterministic Gumbel-key A-ES draw."""
+    docs = _t(spark, sf_dir, "documents")
+    out = quality.dsir_select(
+        docs,
+        docs.filter(F.col("lang") == _DSIR_TARGET_LANG),
+        n=_DSIR_N,
+        vocab_size=_UNIGRAM_VOCAB,
+    )
+    return out.select("doc_id", "n_tok", fix6(F.col("llr")).alias("llr"))
+
+
+SQL_DSIR_SELECT = f"""
+WITH t2 AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+tt AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+    WHERE lang = '{_DSIR_TARGET_LANG}'
+  ) WHERE tok <> ''
+),
+stc AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY 1),
+stot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM stc),
+shead AS (
+  SELECT tok, ln(cnt / n) AS lp FROM stc CROSS JOIN stot
+  ORDER BY cnt DESC, tok ASC LIMIT {_UNIGRAM_VOCAB}
+),
+soov AS (SELECT ln(0.5 / n) AS oov FROM stot),
+ttc AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1),
+ttot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ttc),
+thead AS (
+  SELECT tok, ln(cnt / n) AS lp FROM ttc CROSS JOIN ttot
+  ORDER BY cnt DESC, tok ASC LIMIT {_UNIGRAM_VOCAB}
+),
+toov AS (SELECT ln(0.5 / n) AS oov FROM ttot),
+imp AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         sum(coalesce(th.lp, toov.oov) - coalesce(sh.lp, soov.oov)) AS llr
+  FROM t2
+  LEFT JOIN thead th USING (tok)
+  LEFT JOIN shead sh USING (tok)
+  CROSS JOIN toov CROSS JOIN soov
+  GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_tok, llr,
+         ln(-ln(CAST('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                / CAST({float(1 << 60)} AS DOUBLE))) - llr AS k
+  FROM imp
+)
+SELECT doc_id, n_tok, {_SQL_FIX6.format(x="llr")} AS llr
+FROM keyed ORDER BY k ASC, doc_id ASC LIMIT {_DSIR_N}
+"""
+
+
 def q_cluster_size_hist(spark, sf_dir):
     """Near-dup cluster-size histogram (how much of the corpus sits in
     2-doc vs N-doc duplicate families — the report a dedup run ships).
@@ -2866,6 +2982,90 @@ ORDER BY sum(s) DESC, doc_id ASC LIMIT {_BM25_K}
 
 
 SQL_BM25_TOPK = _sql_bm25()
+
+
+# hybrid retrieval: fuse the BM25 lexical ranklist with an embedding-cosine
+# semantic ranklist (vec_id aligns 1:1 with doc_id in the fixture corpus)
+# via reciprocal-rank fusion — rank-space fusion needs no score calibration
+_HYBRID_QVEC = 0  # fixed semantic query vector
+_HYBRID_LIST_K = 20  # per-retriever ranklist depth
+_HYBRID_TOPN = 10
+_RRF_K = 60  # Cormack et al. smoothing constant
+
+
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid search: RRF-fuse BM25 top-20 (fixed 3-term query) with
+    cosine top-20 neighbors of a fixed query embedding. Both inputs are
+    driver-bounded ranklists, so the fusion itself is broadcast-sized
+    regardless of corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    wlex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = (
+        search.bm25_topk(docs, _BM25_TERMS, k=_HYBRID_LIST_K)
+        .withColumn("rank", F.row_number().over(wlex))
+        .select("doc_id", "rank")
+    )
+    sem = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == _HYBRID_QVEC), k=_HYBRID_LIST_K
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+    fused = search.rrf_fuse([lex, sem], k=_RRF_K, topn=_HYBRID_TOPN)
+    return fused.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        fix6(F.col("rrf_score")).alias("rrf_score"),
+    )
+
+
+def _sql_hybrid() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    k1, b = search.DEFAULT_K1, search.DEFAULT_B
+    rrf = "CAST(1 AS DOUBLE) / ({k} + rank)".format(k=_RRF_K)
+    return f"""
+WITH terms(tok) AS (VALUES {terms}),
+lens AS (SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl FROM lens),
+toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN (SELECT tok FROM terms) GROUP BY 1, 2
+),
+dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         sum(ln((N - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({k1} + 1)) / (tf + {k1} * ({1 - b} + {b} * dl / avgdl))) AS s
+  FROM tf JOIN dft USING (tok) CROSS JOIN stats JOIN lens ON lens.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank FROM bm
+  ) WHERE rank <= {_HYBRID_LIST_K}
+),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT c.vec_id AS doc_id,
+           row_number() OVER (ORDER BY {_SQL_COS} DESC, c.vec_id ASC) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id = {_HYBRID_QVEC}) q
+    JOIN embeddings c ON q.vec_id <> c.vec_id
+  ) WHERE rank <= {_HYBRID_LIST_K}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         COALESCE({rrf.replace('rank', 'lex.rank')}, 0)
+           + COALESCE({rrf.replace('rank', 'sem.rank')}, 0) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank,
+       {_SQL_FIX6.format(x="rrf")} AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_TOPN}
+"""
+
+
+SQL_HYBRID_TOPK = _sql_hybrid()
 
 
 # --------------------------------------------------------------------------
@@ -3378,15 +3578,18 @@ CATALOG: dict[str, tuple] = {
     "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
     "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "funnel": (q_funnel, SQL_FUNNEL),
     "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
     "pivot_lang_tokens": (q_pivot_lang_tokens, SQL_PIVOT_LANG_TOKENS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

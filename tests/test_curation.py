@@ -230,3 +230,53 @@ def test_weighted_sample_is_weight_proportional(spark):
     # heavy mass fraction = 450/900 = 0.5 → expect ~30/60; uniform would
     # give ~6/60. Wide tolerance keeps the test deterministic-stable.
     assert 18 <= heavy <= 42
+
+
+# --------------------------------------------------------------------------
+# substring dedup (Lee et al. duplicated-span removal)
+# --------------------------------------------------------------------------
+
+
+def test_substring_dedup_planted_spans(spark):
+    """A 4-token phrase shared by two docs at n=3 (two overlapping dup
+    windows): the first doc keeps it whole, the second loses the merged
+    span; unique text survives; within-doc repeats are also cut."""
+    phrase = "red green blue yellow"  # windows: (red green blue), (green blue yellow)
+    docs = _docs(
+        spark,
+        [
+            (1, f"{phrase} one two three"),
+            (2, f"zero {phrase} four five"),
+            (3, "totally unrelated words here"),
+            # doc 4 repeats its own 3-gram: second occurrence cut
+            (4, "aa bb cc dd aa bb cc"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in curation.substring_dedup(docs, n=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1 is the global first occurrence -> untouched
+    assert got[1]["text_kept"] == f"{phrase} one two three"
+    assert got[1]["n_removed"] == 0
+    # doc 2 loses exactly the 4 phrase tokens (overlap-merged), keeps the rest
+    assert got[2]["text_kept"] == "zero four five"
+    assert got[2]["n_removed"] == 4
+    # doc 3 untouched
+    assert got[3]["n_removed"] == 0
+    # doc 4: "aa bb cc" appears at pos 0 and pos 4 -> second cut (3 tokens)
+    assert got[4]["text_kept"] == "aa bb cc dd"
+    assert got[4]["n_removed"] == 3
+    # token accounting holds everywhere
+    for r in got.values():
+        assert r["n_tokens"] == r["n_removed"] + len(
+            [t for t in r["text_kept"].split(" ") if t != ""]
+        )
+
+
+def test_substring_dedup_short_docs_survive_whole(spark):
+    docs = _docs(spark, [(1, "just two"), (2, "just two")])
+    got = {r["doc_id"]: r for r in curation.substring_dedup(docs, n=3).collect()}
+    assert got[1]["text_kept"] == "just two" and got[2]["text_kept"] == "just two"
+    assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0

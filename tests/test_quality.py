@@ -190,3 +190,76 @@ def test_unigram_logprob_matches_scalar_reference(spark):
         lp = sum(math.log(cnt[w] / n_total) for w in words) / len(words)
         want[d] = (len(words), round(lp, 9))
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling
+# --------------------------------------------------------------------------
+
+
+def test_dsir_importance_matches_scalar_reference(spark):
+    import math
+
+    src = {1: "a a b", 2: "b c", 3: "a c c"}
+    tgt = {10: "c c c a"}
+    docs = _docs(spark, list(src.items()))
+    target = _docs(spark, list(tgt.items()))
+    tm = quality.unigram_model(target, vocab_size=100)
+    sm = quality.unigram_model(docs, vocab_size=100)
+    got = {
+        r["doc_id"]: (r["n_tok"], round(r["llr"], 9))
+        for r in quality.dsir_importance(docs, tm, sm).collect()
+    }
+    # scalar replay
+    scnt, tcnt = {}, {}
+    for t in src.values():
+        for w in t.split():
+            scnt[w] = scnt.get(w, 0) + 1
+    for t in tgt.values():
+        for w in t.split():
+            tcnt[w] = tcnt.get(w, 0) + 1
+    sN, tN = sum(scnt.values()), sum(tcnt.values())
+    def lp(c, n, w):
+        return math.log(c[w] / n) if w in c else math.log(0.5 / n)
+    want = {}
+    for d, t in src.items():
+        ws = t.split()
+        want[d] = (
+            len(ws),
+            round(sum(lp(tcnt, tN, w) - lp(scnt, sN, w) for w in ws), 9),
+        )
+    assert got == want
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Docs made of the target's tokens must out-select docs that share
+    nothing with the target."""
+    target = _docs(spark, [(100, "xx yy zz xx yy")])
+    # 60-token docs: the llr gap between the two groups (~28 nats) dwarfs
+    # the Gumbel noise (ln(-ln u) spans a few nats), so the draw is
+    # effectively the top-llr set
+    rows = [(i, "xx yy zz yy xx zz " * 10) for i in range(10)] + [
+        (i, "aa bb cc dd ee ff " * 10) for i in range(10, 20)
+    ]
+    docs = _docs(spark, rows)
+    picked = {
+        r["doc_id"]
+        for r in quality.dsir_select(docs, target, n=10, vocab_size=100).collect()
+    }
+    assert picked == set(range(10))
+
+
+def test_dsir_select_survives_extreme_llr(spark):
+    """llr of ±hundreds would overflow exp() in the naive A-ES key; the
+    Gumbel-log form must keep every key finite and still rank the
+    target-identical long doc first."""
+    long_hit = "tok " * 500  # 500 target tokens -> llr >> 700 (exp overflows)
+    long_miss = "other " * 500
+    docs = _docs(spark, [(1, long_hit), (2, long_miss), (3, "tok other")])
+    target = _docs(spark, [(9, "tok tok tok")])
+    out = quality.dsir_select(docs, target, n=2, vocab_size=100).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 in ids and 2 not in ids
+    for r in out:
+        import math
+        assert math.isfinite(r["llr"])

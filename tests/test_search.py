@@ -57,6 +57,37 @@ def test_bm25_matches_scalar_reference(spark):
     assert top == ranked
 
 
+def test_rrf_fuse_matches_scalar_reference(spark):
+    """RRF fusion vs a hand-computed reference: overlap docs sum both
+    reciprocal ranks, list-exclusive docs contribute one, ties break by
+    id ascending."""
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in search.rrf_fuse([lex, sem], k=60, topn=4).collect()
+    }
+    want_score = {
+        10: 1 / 61 + 1 / 63,
+        20: 1 / 62 + 1 / 61,
+        30: 1 / 63,
+        40: 1 / 62,
+    }
+    assert set(got) == set(want_score)
+    for d, s in want_score.items():
+        assert abs(got[d][0] - s) < 1e-12
+    # fused order: 20 (two high ranks) > 10 > 40 (rank2 single) > 30
+    order = sorted(got, key=lambda d: got[d][1])
+    assert order == [20, 10, 40, 30]
+    # topn truncates after fusion, not before
+    top2 = search.rrf_fuse([lex, sem], k=60, topn=2).collect()
+    assert [r["doc_id"] for r in sorted(top2, key=lambda r: r["rank"])] == [20, 10]
+
+
 def test_incremental_exact_dedup_fp_table_path(spark):
     """The precomputed-fingerprint-table form must equal the
     recompute-from-text form (the production ingest shape)."""

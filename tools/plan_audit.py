@@ -37,6 +37,12 @@ CROSS_OK = {
     # broadcast of a ONE-ROW corpus-stats frame (N/avgdl/total tokens)
     # into every scored row — a deliberate scalar attach, not a blow-up
     "unigram_logprob", "bm25_topk", "tfidf_top_terms", "unigram_model_score",
+    # composite of two whitelisted shapes: bm25's one-row stats attach +
+    # embed_topk's broadcast theta-join (the fusion joins are few-row)
+    "hybrid_topk",
+    # two one-row OOV-floor scalar attaches (one per unigram model) —
+    # the same deliberate pattern as unigram_model_score
+    "dsir_select",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
