@@ -79,6 +79,7 @@ EXTRA = [
     "hybrid_topk",
     "substring_dedup",
     "dsir_select",
+    "cap_per_source",
 ]
 
 
@@ -222,6 +223,14 @@ def main() -> None:
                     best = min(best, time.monotonic() - t0)
                     spark.catalog.clearCache()
                 extra[name] = round(best, 3)
+        # end-of-run canary: the start canaries can't see a host window
+        # that turns DURING the run (observed: healthy 0.62 s start canary,
+        # then every query 2-4x slow, then healthy again minutes later).
+        # A start/end pair brackets the whole timed region.
+        t0 = time.monotonic()
+        spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        host_canary_end_sec = round(time.monotonic() - t0, 3)
+
         total = round(sum(queries.values()), 3)
         print(
             json.dumps(
@@ -241,6 +250,7 @@ def main() -> None:
                     "host_canary_sec": host_canary_sec,
                     "py_canary_sec": py_canary_sec,
                     "io_canary_sec": io_canary_sec,
+                    "host_canary_end_sec": host_canary_end_sec,
                 }
             )
         )

@@ -23,7 +23,7 @@ broadcast so the corpus never reshuffles for it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.operators import dedup
@@ -179,6 +179,60 @@ def dup_ngram_stats(
             "dup_fraction",
             F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
         )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``max_rows`` rows per
+    group, selected by a salted-md5 draw (the C4/RefinedWeb "at most K
+    documents per domain" rule — an anti-over-representation control,
+    not a rate: :func:`stratified_sample` keeps a FRACTION per group,
+    this keeps a COUNT). The winners are the ``max_rows`` smallest
+    (md5(salt:id), id) draws — engine-portable, reproducible under any
+    partitioning.
+
+    Exact selection WITHOUT a per-group global sort: a plain
+    ``row_number() OVER (PARTITION BY group)`` puts a billion-row hot
+    domain in ONE unsplittable partition. Instead the draw's 16-bit hex
+    prefix splits every group into ``n_buckets`` RANK-PRESERVING
+    sub-partitions (bucket = floor(prefix·n_buckets/65536) is monotone
+    in the draw, so bucket-major + within-bucket order == global
+    order): (1) per-(group, bucket) counts — a metadata-sized agg;
+    (2) running count of earlier buckets via a window over ≤ n_buckets
+    rows per group — bounded at ANY group size; (3) row_number within
+    (group, bucket) — each window partition is ~1/n_buckets of the
+    group; (4) keep where earlier + within ≤ max_rows. The DuckDB twin
+    is the textbook single-window form, so the oracle hash-match proves
+    the decomposition exact. n_buckets=1 degenerates to the plain
+    window."""
+    u = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    prefix = F.conv(F.substring(u, 1, 4), 16, 10).cast("long")
+    bkt = F.floor((prefix * F.lit(n_buckets)) / F.lit(65536)).cast("int")
+    staged = df.withColumn("_u", u).withColumn("_b", bkt)
+    counts = staged.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = counts.withColumn(
+        "_before", F.coalesce(F.sum("_c").over(wcum), F.lit(0))
+    ).select(group_col, "_b", "_before")
+    win = Window.partitionBy(group_col, "_b").orderBy(
+        F.col("_u").asc(), F.col(id_col).asc()
+    )
+    return (
+        staged.join(before, on=[group_col, "_b"])
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_before") + F.col("_rn") <= max_rows)
+        .drop("_u", "_b", "_before", "_rn")
     )
 
 

@@ -2012,6 +2012,33 @@ WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_sql_strat_thres
 """
 
 
+_CAP_PER_SOURCE = 10
+
+
+def q_cap_per_source(spark, sf_dir):
+    """RefinedWeb/C4-style per-domain cap: keep at most 10 docs per
+    source, chosen by deterministic salted-md5 draw. The Spark side is
+    the skew-proof two-phase (hex-bucket split + bounded windows) form;
+    the oracle is the textbook single window — a hash match proves the
+    decomposition exact."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.cap_per_group(docs, "source", max_rows=_CAP_PER_SOURCE)
+    return out.select("doc_id", "source")
+
+
+SQL_CAP_PER_SOURCE = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM keyed WHERE rn <= {_CAP_PER_SOURCE}
+"""
+
+
 def q_corpus_stats(spark, sf_dir):
     """Corpus mix report: per (source, predicted language) doc counts,
     token totals, mean quality, distinct-content count."""
@@ -3566,6 +3593,7 @@ CATALOG: dict[str, tuple] = {
     "pii_stats": (q_pii_stats, SQL_PII_STATS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),

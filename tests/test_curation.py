@@ -280,3 +280,50 @@ def test_substring_dedup_short_docs_survive_whole(spark):
     got = {r["doc_id"]: r for r in curation.substring_dedup(docs, n=3).collect()}
     assert got[1]["text_kept"] == "just two" and got[2]["text_kept"] == "just two"
     assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
+
+
+# --------------------------------------------------------------------------
+# per-group cap (C4/RefinedWeb domain cap)
+# --------------------------------------------------------------------------
+
+
+def test_cap_per_group_equals_plain_window(spark):
+    """The skew-proof hex-bucket decomposition must select EXACTLY the
+    rows the textbook per-group window picks, at any n_buckets."""
+    from pyspark.sql import Window
+
+    rows = [(i, f"g{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    u = F.md5(F.concat(F.lit("0:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(u.asc(), F.col("doc_id").asc())
+    want = {
+        r["doc_id"]
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 7)
+        .collect()
+    }
+    for n_buckets in (1, 4, 256):
+        got = {
+            r["doc_id"]
+            for r in curation.cap_per_group(
+                df, "source", 7, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == want, n_buckets
+
+
+def test_cap_per_group_counts_and_small_groups(spark):
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.cap_per_group(df, "source", 10).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    # big group capped exactly; under-cap group survives whole
+    assert got == {"big": 10, "small": 3}
+
+
+def test_cap_per_group_salt_changes_selection(spark):
+    rows = [(i, "g") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r["doc_id"] for r in curation.cap_per_group(df, "source", 20, salt=0).collect()}
+    b = {r["doc_id"] for r in curation.cap_per_group(df, "source", 20, salt=1).collect()}
+    assert len(a) == len(b) == 20 and a != b
