@@ -579,6 +579,26 @@ def weighted_sample(
     prefix): "sample 10k docs proportional to token count" is the
     data-mixing form recipes actually specify.
     """
+    keyed = aes_keyed(df, weight_col, id_col, salt)
+    return (
+        keyed.orderBy(F.col("_aes_key").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_aes_key")
+    )
+
+
+def aes_keyed(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Rows plus their ``_aes_key`` exponential draw (-ln(u)/w). The key
+    is a pure function of (salt, id, weight), so draws computed on any
+    partition of the data MERGE: the n smallest keys of a union are the
+    n smallest of each part's n smallest — the property the streaming
+    reservoir (streaming/sketch.py) relies on. Zero/negative/null
+    weights are dropped (zero inclusion probability)."""
     u = (
         F.conv(
             F.substring(
@@ -592,11 +612,4 @@ def weighted_sample(
         / F.lit(float(1 << 60))
     )
     w = F.col(weight_col).cast("double")
-    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
-        "_aes_key", -F.log(u) / w
-    )
-    return (
-        keyed.orderBy(F.col("_aes_key").asc(), F.col(id_col).asc())
-        .limit(n)
-        .drop("_aes_key")
-    )
+    return df.filter(w.isNotNull() & (w > 0)).withColumn("_aes_key", -F.log(u) / w)

@@ -100,6 +100,74 @@ def cms_stream_writer(
     )
 
 
+def _merge_reservoir(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    n: int,
+    weight_col: str,
+    id_col: str,
+    salt: int,
+) -> None:
+    from ocr_spark.operators.curation import aes_keyed
+
+    spark = batch_df.sparkSession
+    head = read_head(state_dir)
+    if head is not None and batch_id <= head["last_batch_id"]:
+        return  # replayed micro-batch after a restart: already merged
+    cand = (
+        aes_keyed(batch_df, weight_col, id_col, salt)
+        .orderBy(F.col("_aes_key").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    if head is not None:
+        prev = spark.read.parquet(head["version"])
+        cand = (
+            prev.unionByName(cand)
+            .orderBy(F.col("_aes_key").asc(), F.col(id_col).asc())
+            .limit(n)
+        )
+    vdir = os.path.join(state_dir, "versions", f"v{batch_id}")
+    cand.coalesce(1).write.mode("overwrite").parquet(vdir)
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _head_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"version": vdir, "last_batch_id": batch_id}))
+    os.replace(tmp, _head_path(state_dir))
+
+
+def reservoir_stream_writer(
+    stream_rows: DataFrame,
+    n: int,
+    weight_col: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Weighted reservoir sample WITHOUT replacement over an unbounded
+    stream (the streaming form of ``curation.weighted_sample``): the
+    A-ES key −ln(u)/w is a pure per-row function, so each micro-batch
+    contributes its own n best draws and the committed reservoir keeps
+    the n smallest keys overall — min-n is mergeable exactly like the
+    additive sketches above, under the same HEAD commit protocol
+    (bounded n-row state, idempotent replays). At any drain point the
+    state EQUALS the batch ``weighted_sample`` over everything committed
+    so far (tested across micro-batch boundaries); rows assume unique
+    ids, as the draw is keyed on (salt, id)."""
+    return stream_rows.writeStream.foreachBatch(
+        lambda df, bid: _merge_reservoir(
+            df, bid, state_dir, n, weight_col, id_col, salt
+        )
+    )
+
+
+def read_reservoir_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The committed reservoir rows (draw key dropped), or None before
+    the first micro-batch commits."""
+    state = read_sketch_state(spark, state_dir)
+    return None if state is None else state.drop("_aes_key")
+
+
 def hist_stream_writer(
     stream_values: DataFrame,
     value_col: str,

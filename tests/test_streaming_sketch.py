@@ -90,3 +90,32 @@ def test_replayed_batch_id_is_skipped(spark, tmp_path):
     _merge_batch(df, 1, state, build, ["r", "b"])  # genuinely new batch
     doubled = {(r.r, r.b): r.cnt for r in read_sketch_state(spark, state).collect()}
     assert doubled == {k: 2 * v for k, v in once.items()}
+
+
+def test_reservoir_stream_equals_batch_and_replay_is_noop(spark, tmp_path):
+    from ocr_spark.operators.curation import weighted_sample
+    from ocr_spark.streaming.sketch import (
+        read_reservoir_state,
+        reservoir_stream_writer,
+    )
+
+    src, docs = _write_batched(spark, tmp_path)
+    state = str(tmp_path / "res_state")
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    _drain(
+        reservoir_stream_writer(stream, 25, "n_chars", state),
+        str(tmp_path / "ck_res"),
+    )
+    head = read_head(state)
+    assert head is not None and head["last_batch_id"] >= 2  # crossed batch boundaries
+    got = {r["doc_id"] for r in read_reservoir_state(spark, state).collect()}
+    want = {r["doc_id"] for r in weighted_sample(docs, 25, "n_chars").collect()}
+    assert got == want and len(got) == 25
+    # drained stream re-run: no new batches, state untouched
+    _drain(
+        reservoir_stream_writer(stream, 25, "n_chars", state),
+        str(tmp_path / "ck_res"),
+    )
+    assert read_head(state) == head
