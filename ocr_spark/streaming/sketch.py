@@ -161,6 +161,73 @@ def reservoir_stream_writer(
     )
 
 
+def _merge_group_cap(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    group_col: str,
+    max_rows: int,
+    id_col: str,
+    salt: int,
+) -> None:
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.curation import cap_per_group
+
+    spark = batch_df.sparkSession
+    head = read_head(state_dir)
+    if head is not None and batch_id <= head["last_batch_id"]:
+        return  # replayed micro-batch: already merged
+    # within the (possibly huge) batch: the skew-proof bucketed form
+    cand = cap_per_group(batch_df, group_col, max_rows, id_col, salt)
+    if head is not None:
+        prev = spark.read.parquet(head["version"])
+        # state ∪ candidates is ≤ 2·max_rows rows PER GROUP by
+        # construction, so the textbook window is safe here — the draw
+        # is recomputable from (salt, id), nothing extra rides the state
+        u = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+        w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+        cand = (
+            prev.unionByName(cand)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_rows)
+            .drop("_rn")
+        )
+    vdir = os.path.join(state_dir, "versions", f"v{batch_id}")
+    cand.coalesce(1).write.mode("overwrite").parquet(vdir)
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _head_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"version": vdir, "last_batch_id": batch_id}))
+    os.replace(tmp, _head_path(state_dir))
+
+
+def group_cap_stream_writer(
+    stream_rows: DataFrame,
+    group_col: str,
+    max_rows: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Streaming per-domain cap (the streaming form of
+    ``curation.cap_per_group``): keep at most ``max_rows`` rows per
+    group across an unbounded stream, selected by the same salted-md5
+    draw. Min-K per group is mergeable exactly like the global
+    reservoir — each micro-batch contributes its own per-group winners
+    (via the skew-proof bucketed form) and the committed state keeps
+    the K smallest draws per group, so state is bounded by
+    groups × max_rows whatever the stream's volume. Same HEAD commit
+    protocol: idempotent replays, and at any drain point the state
+    EQUALS the batch ``cap_per_group`` over everything committed
+    (tested across micro-batch boundaries)."""
+    return stream_rows.writeStream.foreachBatch(
+        lambda df, bid: _merge_group_cap(
+            df, bid, state_dir, group_col, max_rows, id_col, salt
+        )
+    )
+
+
 def read_reservoir_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The committed reservoir rows (draw key dropped), or None before
     the first micro-batch commits."""

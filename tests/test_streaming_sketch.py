@@ -119,3 +119,43 @@ def test_reservoir_stream_equals_batch_and_replay_is_noop(spark, tmp_path):
         str(tmp_path / "ck_res"),
     )
     assert read_head(state) == head
+
+
+def test_group_cap_stream_equals_batch_and_replay_is_noop(spark, tmp_path):
+    from ocr_spark.operators.curation import cap_per_group
+    from ocr_spark.streaming.sketch import (
+        group_cap_stream_writer,
+        read_sketch_state,
+    )
+
+    src, docs = _write_batched(spark, tmp_path)
+    state = str(tmp_path / "cap_state")
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    _drain(
+        group_cap_stream_writer(stream, "source", 5, state),
+        str(tmp_path / "ck_cap"),
+    )
+    head = read_head(state)
+    assert head is not None and head["last_batch_id"] >= 2
+    got = {
+        (r["source"], r["doc_id"])
+        for r in read_sketch_state(spark, state).collect()
+    }
+    want = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_group(docs, "source", 5).collect()
+    }
+    assert got == want and len(got) > 0
+    # every group capped
+    per_group = {}
+    for g, _ in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert max(per_group.values()) <= 5
+    # drained stream re-run: state untouched
+    _drain(
+        group_cap_stream_writer(stream, "source", 5, state),
+        str(tmp_path / "ck_cap"),
+    )
+    assert read_head(state) == head
