@@ -5,7 +5,8 @@
         jobs/curate.py --docs <dir>/documents --bench <dir>/benchmarks \
         --out /data/curated --snapshot snap-2026-08-17 \
         [--quality-min 0.4] [--threshold 0.5] [--max-bucket 100] \
-        [--ngram 8] [--buckets 4096]
+        [--ngram 8] [--buckets 4096] [--substring-dedup-n 50] \
+        [--cap-per-source 100000] [--dsir-target <dir> --dsir-n 10000]
 
 Runs the composed curation chain — quality gate → exact dedup → MinHash-
 LSH near-dup keep-one → benchmark decontamination — over a documents
@@ -49,6 +50,27 @@ def main() -> None:
         help="comma-separated columns to zone-map in the manifests "
         "(enables pruned_read time/range slicing of the output)",
     )
+    ap.add_argument(
+        "--substring-dedup-n",
+        type=int,
+        default=None,
+        help="also remove duplicated n-token spans (Lee et al. rule); "
+        "text becomes the surviving normalized token stream and docs "
+        "stripped to nothing are dropped",
+    )
+    ap.add_argument(
+        "--cap-per-source",
+        type=int,
+        default=None,
+        help="keep at most K surviving docs per source (deterministic draw)",
+    )
+    ap.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet of target-domain docs: keep the --dsir-n survivors "
+        "whose unigram distribution importance-resamples toward it",
+    )
+    ap.add_argument("--dsir-n", type=int, default=10_000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -74,6 +96,29 @@ def main() -> None:
         max_bucket=args.max_bucket,
         n=args.ngram,
     )
+    if args.substring_dedup_n:
+        ssd = curation.substring_dedup(survivors, n=args.substring_dedup_n)
+        survivors = (
+            survivors.drop("text")
+            .join(
+                ssd.filter(F.col("text_kept") != "").select(
+                    "doc_id", F.col("text_kept").alias("text")
+                ),
+                on="doc_id",
+            )
+        )
+    if args.cap_per_source:
+        survivors = curation.cap_per_group(
+            survivors, "source", args.cap_per_source
+        )
+    if args.dsir_target:
+        from ocr_spark.operators import quality
+
+        target = spark.read.parquet(args.dsir_target)
+        picked = quality.dsir_select(survivors, target, n=args.dsir_n)
+        survivors = survivors.join(
+            picked.select("doc_id"), on="doc_id", how="left_semi"
+        )
     stats = checkpointed_write(
         spark,
         survivors,
