@@ -80,6 +80,7 @@ EXTRA = [
     "substring_dedup",
     "dsir_select",
     "cap_per_source",
+    "time_travel",
 ]
 
 

@@ -3105,6 +3105,7 @@ _ZONEMAP_CUTOFF = "1999-01-01"  # query slice — provably inside the late deliv
 # one sink build per (process, sf_dir): the scenario is land-once /
 # query-per-day, so bench best-of-N times the pruned SCAN, not a rebuild
 _ZONEMAP_SINK_CACHE: dict[str, str] = {}
+_ZONEMAP_SINK_MID: dict[str, float] = {}  # wall instant between the deliveries
 
 
 def _zonemap_orders_sink(spark, sf_dir) -> str:
@@ -3132,6 +3133,10 @@ def _zonemap_orders_sink(spark, sf_dir) -> str:
             key_col="o_orderkey",
             stats_cols=["o_orderdate"],
         )
+        if snap == "early":  # instant between the two commits (time travel)
+            import time as _time
+
+            _ZONEMAP_SINK_MID[sf_dir] = _time.time()
     _ZONEMAP_SINK_CACHE[sf_dir] = out
     return out
 
@@ -3162,6 +3167,31 @@ SELECT CAST(year(o_orderdate) AS INT) AS order_year,
        {_SQL_MONEY2.format(x="sum(o_totalprice)")} AS revenue
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '{_ZONEMAP_CUTOFF}'
+GROUP BY 1
+"""
+
+
+def q_time_travel(spark, sf_dir):
+    """Snapshot read (Iceberg time-travel analogue): the orders sink as
+    of the instant between its two deliveries — the 'late' delivery's
+    commit is invisible, so the read resolves to exactly the early
+    slice. The oracle is the same agg over the raw table's early rows;
+    a hash match proves as-of visibility selects whole-and-only the
+    first delivery."""
+    out = _zonemap_orders_sink(spark, sf_dir)
+    asof = manifests.read_as_of(spark, out, _ZONEMAP_SINK_MID[sf_dir])
+    return asof.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money2(F.sum("o_totalprice")).alias("revenue"),
+    )
+
+
+SQL_TIME_TRAVEL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       count(*) AS n_orders,
+       {_SQL_MONEY2.format(x="sum(o_totalprice)")} AS revenue
+FROM orders
+WHERE o_orderdate < TIMESTAMP '{_ZONEMAP_SPLIT}'
 GROUP BY 1
 """
 
@@ -3605,6 +3635,7 @@ CATALOG: dict[str, tuple] = {
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT_TOKENS),
     "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
+    "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),

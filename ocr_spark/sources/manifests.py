@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from datetime import datetime, timezone
 
@@ -456,6 +457,9 @@ def checkpointed_write(
             F.conv(F.col("_lh").cast("string"), 10, 16).alias("lineage_hash"),
             F.lit(epoch).alias("job_epoch"),
             _stats_json(stats_cols).alias("col_stats"),
+            # wall-clock commit stamp: operational metadata for
+            # read_as_of time travel, never part of any data row
+            F.lit(time.time()).alias("committed_at"),
         )
     )
     key_type = df.schema[key_col].dataType.simpleString()
@@ -602,6 +606,7 @@ def compact(
             F.lit(new_epoch).alias("job_epoch"),
             _stats_json(stats_cols).alias("col_stats"),
             F.array(*[F.lit(e) for e in old_epochs]).alias("superseded"),
+            F.lit(time.time()).alias("committed_at"),
         )
     )
     # keep lookup-pruning power across compactions: if the live manifests
@@ -663,6 +668,67 @@ def read_committed(
         # a compacted epoch holds every delivery; slice the requested one
         # out by the in-row snapshot column
         out = out.filter(F.col("input_snapshot") == input_snapshot)
+    return out.drop("bucket", "epoch", "input_snapshot")
+
+
+def _filter_as_of(df: DataFrame | None, as_of: float) -> DataFrame | None:
+    """Rows committed at or before ``as_of``; rows from before commit
+    stamping existed (no/null committed_at) are treated as always
+    visible."""
+    if df is None or "committed_at" not in df.columns:
+        return df
+    return df.filter(
+        F.col("committed_at").isNull() | (F.col("committed_at") <= F.lit(as_of))
+    )
+
+
+def manifests_as_of(
+    spark: SparkSession, out_dir: str, as_of: float
+) -> DataFrame | None:
+    """The live manifest view AS OF a wall-clock instant (epoch
+    seconds): manifest rows committed by then, minus epochs superseded
+    by compactions committed by then — a compaction committed AFTER
+    ``as_of`` is invisible, so the read resolves to the original
+    epochs. This is the Iceberg snapshot-read analogue for this sink."""
+    m = _filter_as_of(read_manifests(spark, out_dir), as_of)
+    c = _filter_as_of(read_compactions(spark, out_dir), as_of)
+    if c is None:
+        return None if m is None else _manifest_view(m)
+    sup = c.select(F.explode("superseded").alias("job_epoch")).distinct()
+    c_live = _manifest_view(c).join(
+        F.broadcast(sup), on="job_epoch", how="left_anti"
+    )
+    if m is None:
+        return c_live
+    m_live = _manifest_view(m).join(
+        F.broadcast(sup), on="job_epoch", how="left_anti"
+    )
+    return m_live.unionByName(c_live)
+
+
+def read_as_of(
+    spark: SparkSession,
+    out_dir: str,
+    as_of: float,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Time travel: read the table as it was committed at ``as_of``
+    (wall-clock epoch seconds). Deliveries and compactions committed
+    later are invisible; crashed-epoch orphans are invisible as always.
+
+    History is readable until ``vacuum`` physically removes superseded
+    epoch directories — exactly Iceberg's expire-snapshots boundary: an
+    ``as_of`` predating a vacuumed compaction selects epochs whose files
+    are gone and reads incomplete data, so retention policy must keep
+    superseded epochs as long as time travel is wanted."""
+    m = manifests_as_of(spark, out_dir, as_of)
+    if m is None:
+        raise FileNotFoundError(f"no manifests under {out_dir}")
+    keys = m.select("bucket", F.col("job_epoch").alias("epoch")).distinct()
+    data = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
+        _data_dir(out_dir)
+    )
+    out = data.join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi")
     return out.drop("bucket", "epoch", "input_snapshot")
 
 

@@ -193,3 +193,54 @@ def test_schema_evolution_survives_reads_and_compaction(spark, tmp_path):
     assert set(after.columns) == {"doc_id", "text", "lang"}
     assert after.count() == 20
     assert {r["doc_id"]: r["lang"] for r in after.collect()} == langs
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    """Deliveries and compactions committed after the as-of instant are
+    invisible; history survives compaction until vacuum."""
+    import time as _time
+
+    out = str(tmp_path / "tt")
+    d1 = _docs(spark, 30, tag="a")
+    manifests.checkpointed_write(spark, d1, out, N_BUCKETS, "snap-a")
+    mid = _time.time()
+    _time.sleep(0.01)
+    d2 = _docs(spark, 30, tag="b")
+    manifests.checkpointed_write(spark, d2, out, N_BUCKETS, "snap-b")
+
+    want_d1 = {r["doc_id"] for r in d1.select("doc_id").collect()}
+    want_all = want_d1 | {r["doc_id"] for r in d2.select("doc_id").collect()}
+
+    got_mid = {r["doc_id"] for r in manifests.read_as_of(spark, out, mid).collect()}
+    assert got_mid == want_d1
+    got_now = {
+        r["doc_id"] for r in manifests.read_as_of(spark, out, _time.time()).collect()
+    }
+    assert got_now == want_all
+
+    # compaction (no vacuum): invisible at mid — the read resolves to the
+    # ORIGINAL epochs, whose files still exist
+    res = manifests.compact(spark, out)
+    assert res["new_epoch"] is not None
+    got_mid2 = {r["doc_id"] for r in manifests.read_as_of(spark, out, mid).collect()}
+    assert got_mid2 == want_d1
+    # as-of after the compaction sees the compacted view, same rows
+    got_post = {
+        r["doc_id"] for r in manifests.read_as_of(spark, out, _time.time()).collect()
+    }
+    assert got_post == want_all
+    # current read untouched by time-travel machinery
+    got_committed = {
+        r["doc_id"] for r in manifests.read_committed(spark, out).collect()
+    }
+    assert got_committed == want_all
+
+
+def test_read_as_of_before_first_commit_is_empty(spark, tmp_path):
+    import time as _time
+
+    out = str(tmp_path / "tt0")
+    before = _time.time()
+    _time.sleep(0.01)
+    manifests.checkpointed_write(spark, _docs(spark, 10), out, N_BUCKETS, "s")
+    assert manifests.read_as_of(spark, out, before).count() == 0
