@@ -504,3 +504,232 @@ def semantic_keep_one(
         embeddings[id_col] == F.col("__drop"),
         how="left_anti",
     ).select(id_col)
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — the storage-compression ANN path
+# --------------------------------------------------------------------------
+
+
+def _normalized_vec(df: DataFrame, vec_col: str, out_col: str = "_nv") -> DataFrame:
+    """Unit-normalize the vector column (staged so the norm is computed
+    once per row, not once per element inside the HOF lambda). On unit
+    vectors squared L2 is 2−2·cos, so PQ's L2 machinery ranks exactly
+    like the family's cosine baseline."""
+    staged = df.withColumn("_n", norm(F.col(vec_col)))
+    return staged.withColumn(
+        out_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")),
+    ).drop("_n")
+
+
+def _l2_sq_lit(a: Column, b_vals: list[float]) -> Column:
+    b = F.array(*[F.lit(float(v)) for v in b_vals])
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmin_code(subvec: Column, cents: list[list[float]]) -> Column:
+    """Nearest-centroid code by squared L2 — array_sort argmin (linear
+    expression tree, ties → lowest cid), the same shape as
+    :func:`_nearest_centroid`."""
+    arr = F.array(
+        *[
+            F.struct(_l2_sq_lit(subvec, c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.element_at(F.array_sort(arr), 1)["cid"]
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jégou et al. 2011: split the vector into ``m``
+    subspaces, k-means each): ``codebooks[sub][cid]`` is a dim/m-float
+    centroid over the unit-normalized corpus. Deterministic throughout —
+    md5-ranked seed rows per subspace, then ``refine_iters`` distributed
+    Lloyd steps (assignment is a JVM expression chain, the mean update a
+    groupBy + posexplode — the ivf_centroids pattern per subspace). The
+    driver loop runs over m (a constant ~8-16), never over data."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    nv = _normalized_vec(embeddings.select(id_col, vec_col), vec_col).select(
+        id_col, "_nv"
+    )
+    books: list[list[list[float]]] = []
+    for sub in range(m):
+        seeds = (
+            nv.withColumn(
+                "_r",
+                F.md5(F.concat(F.lit(f"pq:{sub}:"), F.col(id_col).cast("string"))),
+            )
+            .orderBy("_r")
+            .limit(k)
+            .select(F.slice("_nv", sub * d + 1, d).alias("sv"))
+            .collect()
+        )
+        cents = [list(map(float, r["sv"])) for r in seeds]
+        for _ in range(refine_iters):
+            # cid in its own projection, posexplode in the next — the
+            # Generate rewrite strips struct field names otherwise (the
+            # ivf_centroids FIELD_NOT_FOUND trap)
+            assigned = nv.select(F.slice("_nv", sub * d + 1, d).alias("_sv")).select(
+                _argmin_code(F.col("_sv"), cents).alias("cid"), "_sv"
+            )
+            exploded = assigned.select("cid", F.posexplode("_sv").alias("di", "val"))
+            means = (
+                exploded.groupBy("cid", "di")
+                .agg(F.avg("val").alias("mu"))
+                .groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("di", "mu"))).alias("ds"))
+                .select("cid", F.transform("ds", lambda s: s["mu"]).alias("cent"))
+                .collect()
+            )
+            refined = {int(r["cid"]): list(map(float, r["cent"])) for r in means}
+            cents = [refined.get(i, c) for i, c in enumerate(cents)]
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector compressed to m small ints — at
+    m=8, k=16 that is 8 nibbles (4 B with bit-packing) per vector where
+    the raw 64-dim float vector is 256 B, the 100 TB→1.5 TB class of
+    shrink that makes an in-memory ANN corpus possible. One JVM
+    expression pass; codes are engine-reproducible (md5-seeded books,
+    deterministic argmin with ties → lowest cid)."""
+    m = len(codebooks)
+    d = dim // m
+    nv = _normalized_vec(embeddings.select(id_col, vec_col), vec_col)
+    codes = F.array(
+        *[
+            _argmin_code(F.slice("_nv", s * d + 1, d), codebooks[s]).cast("int")
+            for s in range(m)
+        ]
+    )
+    return nv.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    n_cents: int = 16,
+    refine_iters: int = 1,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: each
+    query precomputes an m×n_cents lookup table of exact
+    subvector-to-centroid distances (driver-side — queries are a small
+    broadcast set by contract, the same bound as the IVF centroid
+    collect), and a corpus row's distance is the sum of m table lookups
+    on its codes — the corpus is scanned as 4-byte codes, never as
+    vectors. approx sim = 1 − dist²/2 (unit vectors). Returns
+    (query_id, rank, neighbor_id, sim) like every ANN sibling.
+
+    ``rerank=R`` enables the production IVFADC-style second stage: the
+    code scan keeps an R-deep shortlist per query, true vectors are
+    re-joined FOR THE SHORTLIST ONLY (an id-keyed join of queries×R
+    rows — never the corpus), and exact cosine re-ranks the final k.
+    Quantization error then only costs recall when a true neighbor
+    falls outside the R-deep shortlist, so R/k (not m·log2(n_cents)
+    bits) sets the recall knob while the corpus is still scanned as
+    codes."""
+    books = pq_codebooks(
+        embeddings, dim, m, n_cents, id_col, vec_col, refine_iters
+    )
+    d = dim // m
+    codes = pq_encode(embeddings, books, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    qrows = (
+        _normalized_vec(queries.select(id_col, vec_col), vec_col)
+        .select(id_col, "_nv")
+        .collect()
+    )
+    lt_rows = []
+    for r in qrows:
+        qv = list(map(float, r["_nv"]))
+        lt = [
+            [
+                sum((qv[s * d + j] - c[j]) ** 2 for j in range(d))
+                for c in books[s]
+            ]
+            for s in range(m)
+        ]
+        lt_rows.append((int(r[id_col]), lt))
+    spark = embeddings.sparkSession
+    ltdf = F.broadcast(
+        spark.createDataFrame(lt_rows, "query_id long, lt array<array<double>>")
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lt"), s + F.lit(1)),
+            F.element_at(F.col("codes"), s + F.lit(1)) + F.lit(1),
+        ),
+    )
+    scored = (
+        ltdf.join(codes, F.col("query_id") != F.col("neighbor_id"), "inner")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.lit(1.0) - dist / F.lit(2.0), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # true vectors for the shortlist only: queries×R rows, id-keyed joins
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    exact = (
+        shortlist.join(qv, on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

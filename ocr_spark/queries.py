@@ -1632,6 +1632,18 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    """PQ/ADC ANN with shortlist re-rank (Jégou et al. 2011): the corpus
+    is scanned as 16 4-bit codes per vector, the ADC top-100 shortlist
+    is exactly re-ranked (recall@5 ≥ 0.8 gated in tests/test_ann.py).
+    md5-seeded codebooks → deterministic → golden-pinned like the
+    LSH/IVF rows."""
+    emb = _synth_embeddings(spark)
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, m=16, rerank=100
+    )
+
+
 
 
 # Fixture dir derived from this module's location (not a hardcoded
@@ -1645,6 +1657,7 @@ _PIPELINE_GOLDEN = f"{_FIXTURES_DIR}/extraction_pipeline_golden.parquet"
 # (like the media ops) they pin to committed goldens (tools/gen_ann_goldens.py).
 SQL_LSH_ANN_TOPK = f"SELECT * FROM '{_FIXTURES_DIR}/lsh_ann_topk_golden.parquet'"
 SQL_IVF_ANN_TOPK = f"SELECT * FROM '{_FIXTURES_DIR}/ivf_ann_topk_golden.parquet'"
+SQL_PQ_ANN_TOPK = f"SELECT * FROM '{_FIXTURES_DIR}/pq_ann_topk_golden.parquet'"
 
 # The kernel is Python, so no SQL can recompute the pipeline — instead the
 # output is PINNED: tools/gen_pipeline_golden.py writes the expected
@@ -3664,6 +3677,7 @@ CATALOG: dict[str, tuple] = {
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
+    "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN_TOPK),
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
     "extraction_spans": (q_extraction_spans, SQL_EXTRACTION_SPANS),
     "ml_training_data": (q_ml_training_data, SQL_ML_TRAINING_DATA),

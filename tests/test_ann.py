@@ -94,3 +94,44 @@ def test_lsh_deterministic(spark, emb):
     a = similarity.lsh_topk(emb, queries, dim=64, k=5).collect()
     b = similarity.lsh_topk(emb, queries, dim=64, k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ / ADC)
+# --------------------------------------------------------------------------
+
+
+def test_pq_codes_bounded_and_deterministic(spark, emb):
+    books = similarity.pq_codebooks(emb, dim=64, m=8, k=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = similarity.pq_encode(emb, books, dim=64).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    again = similarity.pq_encode(emb, books, dim=64).collect()
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in codes))) == sorted(
+        map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in again))
+    )
+
+
+def test_pq_adc_recall_and_rerank_gate(spark, emb):
+    """ADC-only recall clears a floor; the shortlist re-rank stage lifts
+    it to near-exact (the production IVFADC shape) and fills every
+    k-slot."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+
+    adc = _topk_sets(similarity.pq_topk(emb, queries, dim=64, k=5, m=16))
+    hits = sum(len(exact[q] & adc.get(q, set())) for q in exact)
+    r_adc = hits / sum(len(v) for v in exact.values())
+    assert r_adc >= 0.1, f"ADC-only recall@5 collapsed: {r_adc:.2f}"
+
+    rr = similarity.pq_topk(emb, queries, dim=64, k=5, m=16, rerank=100)
+    rows = rr.collect()
+    assert len(rows) == 10 * 5  # every k-slot filled
+    rr_sets = _topk_sets(rr)
+    hits = sum(len(exact[q] & rr_sets.get(q, set())) for q in exact)
+    r_rr = hits / sum(len(v) for v in exact.values())
+    assert r_rr >= 0.8, f"reranked recall@5 too low: {r_rr:.2f}"
+    assert r_rr >= r_adc

@@ -27,15 +27,19 @@ FIXTURES = REPO / "tests" / "fixtures"
 
 
 def main() -> None:
-    from ocr_spark.queries import q_ivf_ann_topk, q_lsh_ann_topk
+    from ocr_spark.queries import q_ivf_ann_topk, q_lsh_ann_topk, q_pq_ann_topk
     from ocr_spark.session import get_spark
 
+    only = set(sys.argv[1:])  # optional: regenerate just the named goldens
     spark = get_spark("gen_ann_goldens", master="local[4]", shuffle_partitions=4)
     try:
         for name, fn in [
             ("lsh_ann_topk", q_lsh_ann_topk),
             ("ivf_ann_topk", q_ivf_ann_topk),
+            ("pq_ann_topk", q_pq_ann_topk),
         ]:
+            if only and name not in only:
+                continue
             out = fn(spark, sf_dir="unused")
             with tempfile.TemporaryDirectory() as tmp:
                 # single file, sorted — byte-stable regeneration
