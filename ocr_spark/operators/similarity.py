@@ -733,3 +733,134 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def ivfadc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    n_cents: int = 16,
+    refine_iters: int = 1,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed — the production ANN layout (FAISS IVFADC,
+    here the ``by_residual=False`` variant: codes quantize the
+    normalized vectors directly, so the PQ codebooks are shared across
+    lists and the two structures compose without residual re-training):
+    the corpus is bucketed into inverted lists by nearest coarse
+    centroid AND stored as m small codes; a query probes its nprobe
+    lists (candidate generation never scans the corpus) and scores the
+    probed candidates by ADC table lookups (the scan never touches
+    vectors); the shortlist re-rank then reads true vectors for
+    queries×R rows only. At 10^12 vectors this is the layout where
+    every per-query cost term is sublinear in the corpus: nprobe/n_lists
+    of the rows, 8-32 B of payload per row scanned, R vector reads.
+
+    Recall is bounded by the coarse probe (a true neighbor in an
+    unprobed list is unreachable — the same bound ivf_topk carries);
+    within probed lists the re-rank recovers PQ's quantization loss.
+    Deterministic (md5-seeded coarse centroids AND codebooks)."""
+    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    books = pq_codebooks(
+        embeddings, dim, m, n_cents, id_col, vec_col, refine_iters
+    )
+    d = dim // m
+    corpus = pq_encode(embeddings, books, dim, id_col, vec_col).join(
+        embeddings.select(
+            F.col(id_col),
+            _nearest_centroid(F.col(vec_col), centroids).alias("list_id"),
+        ),
+        on=id_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "list_id", "codes")
+
+    qrows = (
+        _normalized_vec(queries.select(id_col, vec_col), vec_col)
+        .select(id_col, "_nv")
+        .collect()
+    )
+    # per-query: ADC lookup table + its nprobe nearest coarse lists,
+    # both driver-computed (queries are a small broadcast set)
+    import math as _math
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = _math.sqrt(sum(x * x for x in a)) * _math.sqrt(sum(x * x for x in b))
+        return num / den if den else 0.0
+
+    probe_rows = []
+    for r in qrows:
+        qv = list(map(float, r["_nv"]))
+        lt = [
+            [
+                sum((qv[s * d + j] - c[j]) ** 2 for j in range(d))
+                for c in books[s]
+            ]
+            for s in range(m)
+        ]
+        by_sim = sorted(
+            ((-_cos(qv, cvec), cid) for cid, cvec in centroids)
+        )[:nprobe]
+        for _, cid in by_sim:
+            probe_rows.append((int(r[id_col]), int(cid), lt))
+    spark = embeddings.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, "query_id long, list_id int, lt array<array<double>>"
+        )
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lt"), s + F.lit(1)),
+            F.element_at(F.col("codes"), s + F.lit(1)) + F.lit(1),
+        ),
+    )
+    scored = (
+        probes.join(corpus, on="list_id", how="inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.lit(1.0) - dist / F.lit(2.0), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv_df = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    exact = (
+        shortlist.join(qv_df, on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

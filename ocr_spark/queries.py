@@ -1632,6 +1632,24 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivfadc_ann_topk(spark, sf_dir):
+    """IVF+PQ composed (the FAISS IVFADC layout, by_residual=False):
+    inverted lists scanned as 4-bit codes, nprobe coarse probing, exact
+    shortlist re-rank. Recall sits at the coarse-probe bound (gated in
+    tests/test_ann.py). Deterministic → golden-pinned."""
+    emb = _synth_embeddings(spark)
+    return similarity.ivfadc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        dim=64,
+        k=5,
+        n_lists=16,
+        nprobe=4,
+        m=16,
+        rerank=100,
+    )
+
+
 def q_pq_ann_topk(spark, sf_dir):
     """PQ/ADC ANN with shortlist re-rank (Jégou et al. 2011): the corpus
     is scanned as 16 4-bit codes per vector, the ADC top-100 shortlist
@@ -1658,6 +1676,9 @@ _PIPELINE_GOLDEN = f"{_FIXTURES_DIR}/extraction_pipeline_golden.parquet"
 SQL_LSH_ANN_TOPK = f"SELECT * FROM '{_FIXTURES_DIR}/lsh_ann_topk_golden.parquet'"
 SQL_IVF_ANN_TOPK = f"SELECT * FROM '{_FIXTURES_DIR}/ivf_ann_topk_golden.parquet'"
 SQL_PQ_ANN_TOPK = f"SELECT * FROM '{_FIXTURES_DIR}/pq_ann_topk_golden.parquet'"
+SQL_IVFADC_ANN_TOPK = (
+    f"SELECT * FROM '{_FIXTURES_DIR}/ivfadc_ann_topk_golden.parquet'"
+)
 
 # The kernel is Python, so no SQL can recompute the pipeline — instead the
 # output is PINNED: tools/gen_pipeline_golden.py writes the expected
@@ -3678,6 +3699,7 @@ CATALOG: dict[str, tuple] = {
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
     "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN_TOPK),
+    "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
     "extraction_spans": (q_extraction_spans, SQL_EXTRACTION_SPANS),
     "ml_training_data": (q_ml_training_data, SQL_ML_TRAINING_DATA),

@@ -135,3 +135,26 @@ def test_pq_adc_recall_and_rerank_gate(spark, emb):
     r_rr = hits / sum(len(v) for v in exact.values())
     assert r_rr >= 0.8, f"reranked recall@5 too low: {r_rr:.2f}"
     assert r_rr >= r_adc
+
+
+def test_ivfadc_recall_matches_coarse_bound(spark, emb):
+    """IVFADC's recall is bounded by the coarse probe (unprobed lists are
+    unreachable); within probed lists the shortlist re-rank must recover
+    PQ's quantization loss, so recall sits at (or within epsilon of) the
+    IVF-flat bound."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+    total = sum(len(v) for v in exact.values())
+
+    flat = _topk_sets(similarity.ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4))
+    r_flat = sum(len(exact[q] & flat.get(q, set())) for q in exact) / total
+
+    adc = similarity.ivfadc_topk(
+        emb, queries, dim=64, k=5, n_lists=16, nprobe=4, m=16, rerank=100
+    )
+    rows = adc.collect()
+    assert len(rows) == 10 * 5
+    a_sets = _topk_sets(adc)
+    r_adc = sum(len(exact[q] & a_sets.get(q, set())) for q in exact) / total
+    assert r_adc >= 0.4, f"IVFADC recall@5 too low: {r_adc:.2f}"
+    assert r_adc >= r_flat - 0.1, f"re-rank failed to recover PQ loss: {r_adc:.2f} vs flat {r_flat:.2f}"

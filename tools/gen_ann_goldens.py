@@ -27,7 +27,12 @@ FIXTURES = REPO / "tests" / "fixtures"
 
 
 def main() -> None:
-    from ocr_spark.queries import q_ivf_ann_topk, q_lsh_ann_topk, q_pq_ann_topk
+    from ocr_spark.queries import (
+        q_ivf_ann_topk,
+        q_ivfadc_ann_topk,
+        q_lsh_ann_topk,
+        q_pq_ann_topk,
+    )
     from ocr_spark.session import get_spark
 
     only = set(sys.argv[1:])  # optional: regenerate just the named goldens
@@ -37,6 +42,7 @@ def main() -> None:
             ("lsh_ann_topk", q_lsh_ann_topk),
             ("ivf_ann_topk", q_ivf_ann_topk),
             ("pq_ann_topk", q_pq_ann_topk),
+            ("ivfadc_ann_topk", q_ivfadc_ann_topk),
         ]:
             if only and name not in only:
                 continue

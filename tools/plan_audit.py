@@ -31,7 +31,7 @@ sys.path.insert(0, str(REPO))
 CROSS_OK = {
     "fuzzy_top1", "fuzzy_top1_trgm", "ngram_jaccard", "embed_cosine_dups",
     "embed_topk", "erp_containment", "supplier_fallback", "vat_imputation",
-    "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk",
+    "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk", "ivfadc_ann_topk",
     # 1-row x 1-row: sketch estimate beside the exact count
     "kmv_distinct_tokens",
     # broadcast of a ONE-ROW corpus-stats frame (N/avgdl/total tokens)
