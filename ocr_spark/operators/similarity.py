@@ -864,3 +864,92 @@ def ivfadc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+# --------------------------------------------------------------------------
+# labeled-embedding ops: hard-negative mining + kNN label vote
+# --------------------------------------------------------------------------
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-anchor top-k most-similar vectors with a DIFFERENT label —
+    the hard-negative mining step of contrastive training-data prep
+    (the negatives that actually teach the margin are the near-misses,
+    not random draws). Returns (query_id, rank, neighbor_id, sim).
+
+    Same scale shape as brute_force_topk (broadcast anchors, one corpus
+    scan, per-anchor window over anchor-bounded rows) — this is the
+    exactness baseline; at 10^12 vectors generate candidates with the
+    LSH/IVF/IVFADC paths and apply the same label-inequality filter."""
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("_ql"),
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    scored = a.join(
+        c,
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_ql") != F.col("_cl")),
+        "inner",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority label among each query's k nearest neighbors (ties →
+    smallest label): kNN classification, and the standard
+    label-recoverability probe of embedding quality. Returns
+    (query_id, pred_label, votes).
+
+    Candidate scan = brute baseline (swap in an ANN path at scale); the
+    vote is two bounded aggregations over queries×k rows."""
+    nn = brute_force_topk(embeddings, queries, k, id_col, vec_col)
+    labeled = nn.join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_l")
+        ),
+        on="neighbor_id",
+    )
+    counts = labeled.groupBy("query_id", "_l").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_l").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_l").alias("pred_label"), "votes")
+    )

@@ -1439,6 +1439,61 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor (vec_id < 10), the
+    top-5 most-similar vectors with a DIFFERENT label — the near-misses
+    that teach the margin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_SQL_FIX6.format(x=_SQL_COS)} AS sim
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings c ON q.vec_id <> c.vec_id AND q.label <> c.label
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_knn_label_vote(spark, sf_dir):
+    """kNN classification / label-recoverability probe: majority label
+    of each query's 15 nearest neighbors (ties -> smallest label)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote(emb, emb.filter(F.col("vec_id") < 50), k=15)
+
+
+SQL_KNN_LABEL_VOTE = f"""
+WITH nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_SQL_FIX6.format(x=_SQL_COS)} DESC, c.vec_id ASC
+           ) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 50) q
+    JOIN embeddings c ON q.vec_id <> c.vec_id
+  ) WHERE rank <= 15
+),
+votes AS (
+  SELECT query_id, e.label AS l, count(*) AS votes
+  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT query_id, l AS pred_label, CAST(votes AS BIGINT) AS votes FROM (
+  SELECT query_id, l, votes,
+         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, l ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
 _SQL_COS_AB = (
     f"({_sql_dot('a.embedding', 'b.embedding')}) / "
     f"(sqrt({_sql_dot('a.embedding', 'a.embedding')}) * sqrt({_sql_dot('b.embedding', 'b.embedding')}))"
@@ -3650,6 +3705,8 @@ CATALOG: dict[str, tuple] = {
     "near_dup_keep_one": (q_near_dup_keep_one, SQL_NEAR_DUP_KEEP_ONE),
     "lsh_index_pairs": (q_lsh_index_pairs, SQL_LSH_INDEX_PAIRS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
     "contamination_pairs": (q_contamination_pairs, SQL_CONTAMINATION_PAIRS),

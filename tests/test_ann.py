@@ -158,3 +158,41 @@ def test_ivfadc_recall_matches_coarse_bound(spark, emb):
     r_adc = sum(len(exact[q] & a_sets.get(q, set())) for q in exact) / total
     assert r_adc >= 0.4, f"IVFADC recall@5 too low: {r_adc:.2f}"
     assert r_adc >= r_flat - 0.1, f"re-rank failed to recover PQ loss: {r_adc:.2f} vs flat {r_flat:.2f}"
+
+
+# --------------------------------------------------------------------------
+# labeled-embedding ops
+# --------------------------------------------------------------------------
+
+
+def test_hard_negatives_and_knn_vote_planted(spark):
+    """Planted two-cluster geometry: hard negatives for a cluster-A
+    anchor are the nearest B vectors (never A, never self); the kNN vote
+    recovers the planted label."""
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + 0.01 * i, 0.0, 0.0, 0.0], 0))      # cluster A
+        rows.append((100 + i, [0.0, 1.0 + 0.01 * i, 0.0, 0.0], 1))  # cluster B
+    # one borderline vector between the clusters, labeled B
+    rows.append((200, [1.0, 0.9, 0.0, 0.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = emb.filter(F.col("vec_id") == 0)
+    negs = similarity.hard_negatives(emb, anchors, k=3).collect()
+    assert len(negs) == 3
+    # nearest different-label vector is the borderline one
+    assert negs[0]["neighbor_id"] == 200 or any(
+        r["rank"] == 1 and r["neighbor_id"] == 200 for r in negs
+    )
+    ids = {r["neighbor_id"] for r in negs}
+    assert 0 not in ids and all(i >= 100 for i in ids)  # label-0 excluded
+
+    votes = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_label_vote(
+            emb, emb.filter(F.col("vec_id") < 5), k=5
+        ).collect()
+    }
+    for q in range(5):
+        assert votes[q][0] == 0 and votes[q][1] == 5  # all-A neighborhoods

@@ -32,6 +32,7 @@ CROSS_OK = {
     "fuzzy_top1", "fuzzy_top1_trgm", "ngram_jaccard", "embed_cosine_dups",
     "embed_topk", "erp_containment", "supplier_fallback", "vat_imputation",
     "lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk", "ivfadc_ann_topk",
+    "hard_negatives", "knn_label_vote",
     # 1-row x 1-row: sketch estimate beside the exact count
     "kmv_distinct_tokens",
     # broadcast of a ONE-ROW corpus-stats frame (N/avgdl/total tokens)
