@@ -254,6 +254,43 @@ def q_running_total(spark, sf_dir):
     )
 
 
+def q_trailing_window(spark, sf_dir):
+    """Time-RANGE window frame (not row-count): per daily revenue row,
+    the trailing-7-day revenue sum — rangeBetween on the day's epoch
+    seconds, so gaps in the calendar are handled by VALUE distance, not
+    row offsets. The daily rollup keys the one shuffle; the window then
+    runs inside each year-partition ordered by day."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    secs = F.unix_timestamp(F.col("day").cast("timestamp"))
+    w = (
+        Window.partitionBy(F.year("day"))
+        .orderBy(secs)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        money2(F.col("rev")).alias("rev"),
+        money2(F.sum("rev").over(w)).alias("rev_7d"),
+    )
+
+
+SQL_TRAILING_WINDOW = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day, {_SQL_MONEY2.format(x="rev")} AS rev,
+       {_SQL_MONEY2.format(x='''sum(rev) OVER (
+         PARTITION BY year(day) ORDER BY epoch(CAST(day AS TIMESTAMP))
+         RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)''')} AS rev_7d
+FROM daily
+"""
+
+
 SQL_RUNNING_TOTAL = f"""
 SELECT o_custkey, o_orderkey,
        {_SQL_MONEY2.format(x="sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_spent
@@ -3671,6 +3708,7 @@ CATALOG: dict[str, tuple] = {
     "priority_rollup": (q_priority_rollup, SQL_PRIORITY_ROLLUP),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "trailing_window": (q_trailing_window, SQL_TRAILING_WINDOW),
     "customer_order_span": (q_customer_order_span, SQL_CUSTOMER_ORDER_SPAN),
     "last100_avg": (q_last100_avg, SQL_LAST100_AVG),
     "distinct_segments": (q_distinct_segments, SQL_DISTINCT_SEGMENTS),

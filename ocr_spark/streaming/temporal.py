@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ocr_spark.operators.temporal import asof_join
 
@@ -52,3 +53,53 @@ def asof_enrich_writer(
         sink(out, batch_id)
 
     return stream.writeStream.foreachBatch(_enrich)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before_sec: int = 0,
+    after_sec: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """TRUE stream-stream interval join (native Structured Streaming,
+    append mode): pairs with equal keys whose right timestamp falls in
+    [left_ts − before_sec, left_ts + after_sec] — the click-attribution
+    / impression-conversion shape where BOTH sides stream.
+
+    Both inputs get event-time watermarks AND the join carries the
+    explicit time-range condition — together that is what lets Spark
+    BOUND the join state: a buffered row is evicted once the other
+    side's watermark passes its reachable range, so state is
+    O(rate × (watermark + range)), never O(stream). Inner join in
+    append mode emits each match as soon as both rows have arrived
+    (no flush latency); the right side's timestamp column comes back
+    suffixed ``_r`` when the names collide.
+
+    This is the streaming twin of ``operators/temporal.interval_join``'s
+    point-in-range case; the remaining stream-stream AS-OF (latest-
+    before, not all-in-range) still needs custom state and stays with
+    the documented batch/foreachBatch forms."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lts, rts = left_ts, right_ts if right_ts != left_ts else f"{right_ts}_r"
+    if rts != right_ts:
+        right = right.withColumnRenamed(right_ts, rts)
+    # rename non-key, non-ts collisions too (suffix _r)
+    for c in right.columns:
+        if c in left.columns and c not in keys and c != rts:
+            right = right.withColumnRenamed(c, f"{c}_r")
+    l = left.withWatermark(lts, watermark)
+    r = right.withWatermark(rts, watermark)
+    cond = None
+    for k in keys:
+        e = l[k] == r[k]
+        cond = e if cond is None else (cond & e)
+    cond = (
+        cond
+        & (r[rts] >= l[lts] - F.expr(f"INTERVAL {int(before_sec)} SECONDS"))
+        & (r[rts] <= l[lts] + F.expr(f"INTERVAL {int(after_sec)} SECONDS"))
+    )
+    return l.join(r, cond, "inner").drop(*[r[k] for k in keys])

@@ -53,3 +53,62 @@ def test_stream_asof_equals_batch(spark, tmp_path):
     key = lambda rows: sorted((r.event_id, r.dim_id, r.matched_ts) for r in rows)
     assert key(out) == key(want)
     assert len(out) == purchases.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """True stream-stream join: clicks x purchases per user within
+    [0, 30 min], both sides watermarked file streams — the drained
+    result must equal the batch join under the identical condition."""
+    from ocr_spark.streaming.temporal import interval_join_stream
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), "ts"
+    )
+    lsrc, rsrc = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.withColumn("_b", F.col("click_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.mode("overwrite").parquet(lsrc)
+    buys.withColumn("_b", F.col("buy_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.mode("overwrite").parquet(rsrc)
+
+    ls = spark.readStream.schema("user_id long, click_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(lsrc)
+    rs = spark.readStream.schema("user_id long, buy_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(rsrc)
+    joined = interval_join_stream(
+        ls, rs, on="user_id", before_sec=0, after_sec=1800, watermark="2 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["click_id"], r["buy_id"])
+        for r in spark.sql("select * from ssj").collect()
+    }
+
+    want = {
+        (r["user_id"], r["click_id"], r["buy_id"])
+        for r in clicks.alias("l")
+        .join(
+            buys.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1800 SECONDS")),
+            "inner",
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
