@@ -254,6 +254,54 @@ def q_running_total(spark, sf_dir):
     )
 
 
+def q_quality_checks(spark, sf_dir):
+    """Deequ-style constraint report over orders in ONE agg pass:
+    completeness, key uniqueness, numeric range and status-set
+    conformance, plus FK containment into customer (broadcast key join
+    folded into the same scan). A pipeline gates each delivery on this
+    one-row report."""
+    from ocr_spark.operators import checks
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(
+            cust.select(F.col("c_custkey").alias("o_custkey"))
+            .distinct()
+            .withColumn("_ok", F.lit(1))
+        ),
+        on="o_custkey",
+        how="left",
+    )
+    rep = checks.check_report(
+        joined,
+        [
+            checks.completeness("o_custkey"),
+            checks.uniqueness("o_orderkey"),
+            checks.in_range("o_totalprice", 0.0, 1_000_000.0),
+            checks.in_set("o_orderstatus", ["F", "O", "P"]),
+            (F.sum("_ok") / F.count(F.lit(1))).alias("ri_custkey"),
+        ],
+    )
+    return rep.select(*[fix6(F.col(c)).alias(c) for c in rep.columns])
+
+
+SQL_QUALITY_CHECKS = f"""
+WITH j AS (
+  SELECT o.*, CASE WHEN c.c_custkey IS NULL THEN NULL ELSE 1 END AS _ok
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+)
+SELECT
+  {_SQL_FIX6.format(x="CAST(count(o_custkey) AS DOUBLE) / count(*)")} AS complete_o_custkey,
+  {_SQL_FIX6.format(x="CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*)")} AS unique_o_orderkey,
+  {_SQL_FIX6.format(x="CAST(sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 1000000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(o_totalprice)")} AS range_o_totalprice,
+  {_SQL_FIX6.format(x="CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS DOUBLE) / count(o_orderstatus)")} AS set_o_orderstatus,
+  {_SQL_FIX6.format(x="CAST(sum(_ok) AS DOUBLE) / count(*)")} AS ri_custkey
+FROM j
+"""
+
+
 def q_trailing_window(spark, sf_dir):
     """Time-RANGE window frame (not row-count): per daily revenue row,
     the trailing-7-day revenue sum — rangeBetween on the day's epoch
@@ -3297,6 +3345,55 @@ GROUP BY 1
 """
 
 
+_DELETE_SINK_CACHE: dict[str, str] = {}
+_DELETE_MAXKEY = 2000  # bounded slice of orders for the delete-sink row
+
+
+def _delete_orders_sink(spark, sf_dir) -> str:
+    """A small orders slice landed once, then every 7th orderkey
+    equality-deleted — the merge-on-read read-back fixture (own sink;
+    the zonemap sink is shared with pruning/time-travel rows and must
+    stay unmutated)."""
+    out = _DELETE_SINK_CACHE.get(sf_dir)
+    if out is not None:
+        return out
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ocr_spark_deletes_")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= _DELETE_MAXKEY
+    )
+    manifests.checkpointed_write(
+        spark, orders, out, n_buckets=8, input_snapshot="base", key_col="o_orderkey"
+    )
+    victims = orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    manifests.delete_keys(spark, out, victims)
+    _DELETE_SINK_CACHE[sf_dir] = out
+    return out
+
+
+def q_deleted_read(spark, sf_dir):
+    """Merge-on-read equality deletes: read back the sink after deleting
+    every 7th orderkey — tombstones applied at read time, no data file
+    rewritten. The oracle is the same agg over the raw slice minus those
+    keys, so a hash match proves exactly-the-deleted rows vanished."""
+    out = _delete_orders_sink(spark, sf_dir)
+    df = manifests.read_committed(spark, out)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money2(F.sum("o_totalprice")).alias("revenue"),
+    )
+
+
+SQL_DELETED_READ = f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       {_SQL_MONEY2.format(x="sum(o_totalprice)")} AS revenue
+FROM orders
+WHERE o_orderkey <= {_DELETE_MAXKEY} AND o_orderkey % 7 <> 0
+GROUP BY 1
+"""
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot read (Iceberg time-travel analogue): the orders sink as
     of the instant between its two deliveries — the 'late' delivery's
@@ -3709,6 +3806,7 @@ CATALOG: dict[str, tuple] = {
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "trailing_window": (q_trailing_window, SQL_TRAILING_WINDOW),
+    "quality_checks": (q_quality_checks, SQL_QUALITY_CHECKS),
     "customer_order_span": (q_customer_order_span, SQL_CUSTOMER_ORDER_SPAN),
     "last100_avg": (q_last100_avg, SQL_LAST100_AVG),
     "distinct_segments": (q_distinct_segments, SQL_DISTINCT_SEGMENTS),
@@ -3765,6 +3863,7 @@ CATALOG: dict[str, tuple] = {
     "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
     "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
+    "deleted_read": (q_deleted_read, SQL_DELETED_READ),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),

@@ -565,10 +565,17 @@ def compact(
     # recomputed over the union schema, so they legitimately differ from
     # the superseded rows' when schemas were heterogeneous; row counts
     # remain the invariant.)
+    data = spark.read.option("mergeSchema", "true").parquet(
+        _data_dir(out_dir)
+    ).join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi")
+    # apply live equality deletes physically: the rewritten epoch's
+    # commit stamp postdates every existing tombstone, so after this
+    # commit the tombstones are inert for current reads (they keep
+    # serving pre-compaction time travel until retention removes them).
+    # Row counts in the commit record legitimately shrink by the
+    # deleted rows.
     data = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(_data_dir(out_dir))
-        .join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi")
+        _minus_deletes(spark, out_dir, data)
         .drop("epoch")
         .withColumn("epoch", F.lit(new_epoch))
     )
@@ -668,7 +675,139 @@ def read_committed(
         # a compacted epoch holds every delivery; slice the requested one
         # out by the in-row snapshot column
         out = out.filter(F.col("input_snapshot") == input_snapshot)
+    out = _minus_deletes(spark, out_dir, out)
     return out.drop("bucket", "epoch", "input_snapshot")
+
+
+# --------------------------------------------------------------------------
+# equality deletes (Iceberg v2 merge-on-read analogue)
+# --------------------------------------------------------------------------
+
+
+def _deletes_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "deletes")
+
+
+def _delete_manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "delete_manifests")
+
+
+def delete_keys(spark: SparkSession, out_dir: str, keys, key_col: str | None = None) -> dict:
+    """Commit an equality-delete: every committed row whose key is in
+    ``keys`` becomes invisible to readers — WITHOUT rewriting any data
+    file (merge-on-read; the GDPR/right-to-be-forgotten and correction
+    shape). ``keys`` is a DataFrame carrying the key column or a plain
+    Python list.
+
+    Sequence semantics via the same commit stamps time travel uses: a
+    delete suppresses rows from epochs committed AT OR BEFORE it, so a
+    later re-insert of the key is visible, and ``read_as_of`` before the
+    delete still shows the old rows (tombstone files are retention-bound
+    like superseded epochs). Commit protocol mirrors the sink's: key
+    files land invisibly under ``deletes/epoch=<id>/``, then ONE
+    single-file append to ``delete_manifests/`` makes them live.
+
+    Compaction applies live tombstones physically (the rewritten epoch's
+    stamp postdates them, so they turn inert afterwards)."""
+    meta = read_table_meta(out_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no meta.json under {out_dir} — nothing written yet")
+    key_col = key_col or meta["key_col"]
+    if not isinstance(keys, DataFrame):
+        keys = spark.createDataFrame(
+            [(k,) for k in keys], f"{key_col} {meta['key_type']}"
+        )
+    epoch = "d" + uuid.uuid4().hex[:15]
+    kdf = keys.select(key_col).distinct()
+    kdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_deletes_dir(out_dir), f"epoch={epoch}")
+    )
+    n = spark.read.parquet(
+        os.path.join(_deletes_dir(out_dir), f"epoch={epoch}")
+    ).count()
+    rec = spark.createDataFrame(
+        [(epoch, n, time.time())], "epoch string, n_keys long, committed_at double"
+    )
+    rec.coalesce(1).write.mode("append").parquet(_delete_manifest_dir(out_dir))
+    return {"delete_epoch": epoch, "n_keys": n}
+
+
+def _delete_index(
+    spark: SparkSession, out_dir: str, key_col: str, as_of: float | None = None
+) -> DataFrame | None:
+    """(key, _last_del): latest committed delete stamp per key, or None
+    when the table has no committed deletes (in range, for as-of)."""
+    try:
+        dm = spark.read.parquet(_delete_manifest_dir(out_dir))
+    except AnalysisException as e:
+        if _is_path_missing(e):
+            return None
+        raise
+    if as_of is not None:
+        dm = dm.filter(F.col("committed_at") <= F.lit(as_of))
+    commits = dm.select("epoch", "committed_at").distinct().collect()
+    if not commits:
+        return None
+    paths = [
+        os.path.join(_deletes_dir(out_dir), f"epoch={r['epoch']}") for r in commits
+    ]
+    keys = spark.read.option("basePath", _deletes_dir(out_dir)).parquet(*paths)
+    stamped = keys.join(
+        F.broadcast(dm.select("epoch", "committed_at")), on="epoch"
+    )
+    return stamped.groupBy(key_col).agg(F.max("committed_at").alias("_last_del"))
+
+
+def _epoch_commit_stamps(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(epoch, _dct): commit stamp per data epoch (manifests ∪
+    compaction records; legacy rows without stamps → 0.0 = predate every
+    delete). Metadata-sized."""
+    frames = []
+    for df in (read_manifests(spark, out_dir), read_compactions(spark, out_dir)):
+        if df is None:
+            continue
+        ct = (
+            F.col("committed_at") if "committed_at" in df.columns else F.lit(None)
+        )
+        frames.append(
+            df.select(
+                F.col("job_epoch").alias("epoch"),
+                F.coalesce(ct.cast("double"), F.lit(0.0)).alias("_dct"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("epoch").agg(F.max("_dct").alias("_dct"))
+
+
+def _minus_deletes(
+    spark: SparkSession,
+    out_dir: str,
+    df: DataFrame,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Apply committed equality deletes to a data frame that still
+    carries its ``epoch`` partition column: a row survives when no
+    delete targets its key, or its epoch's commit postdates the key's
+    latest delete (re-insert). One metadata-sized broadcast join for the
+    epoch stamps plus one keyed join against the (usually tiny) delete
+    index — AQE broadcasts it when it fits."""
+    meta = read_table_meta(out_dir)
+    if meta is None:
+        return df
+    key_col = meta["key_col"]
+    idx = _delete_index(spark, out_dir, key_col, as_of)
+    if idx is None:
+        return df
+    stamps = _epoch_commit_stamps(spark, out_dir)
+    return (
+        df.join(F.broadcast(stamps), on="epoch", how="left")
+        .withColumn("_dct", F.coalesce(F.col("_dct"), F.lit(0.0)))
+        .join(idx, on=key_col, how="left")
+        .filter(F.col("_last_del").isNull() | (F.col("_last_del") < F.col("_dct")))
+        .drop("_dct", "_last_del")
+    )
 
 
 def _filter_as_of(df: DataFrame | None, as_of: float) -> DataFrame | None:
@@ -729,6 +868,7 @@ def read_as_of(
         _data_dir(out_dir)
     )
     out = data.join(F.broadcast(keys), on=["bucket", "epoch"], how="left_semi")
+    out = _minus_deletes(spark, out_dir, out, as_of=as_of)
     return out.drop("bucket", "epoch", "input_snapshot")
 
 
@@ -885,6 +1025,7 @@ def pruned_read(
         )
     if input_snapshot is not None and "input_snapshot" in out.columns:
         out = out.filter(F.col("input_snapshot") == input_snapshot)
+    out = _minus_deletes(spark, out_dir, out)
     return out.drop("bucket", "epoch", "input_snapshot")
 
 
@@ -980,4 +1121,5 @@ def lookup_read(
         return read_committed(spark, out_dir).where(F.lit(False))
     out = spark.read.option("basePath", _data_dir(out_dir)).parquet(*plan["paths"])
     out = out.filter(F.col(key_col).isin(list(keys)))
+    out = _minus_deletes(spark, out_dir, out)
     return out.drop("bucket", "epoch", "input_snapshot")

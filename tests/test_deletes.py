@@ -1,0 +1,92 @@
+"""Equality deletes (merge-on-read): commit-stamp sequence semantics,
+re-insert visibility, time travel, physical apply at compaction, and
+the pruned/lookup readers honoring tombstones."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from ocr_spark.schemas import DOCUMENTS
+from ocr_spark.sources import manifests
+from ocr_spark.synth import synth_frames
+
+N_BUCKETS = 8
+
+
+def _docs(spark, n=40, tag=""):
+    docs_pd, _ = synth_frames(n)
+    df = spark.createDataFrame(docs_pd, schema=DOCUMENTS)
+    return (
+        df.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit(f"-{tag}")))
+        if tag
+        else df
+    )
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_delete_hides_rows_and_reinsert_returns(spark, tmp_path):
+    out = str(tmp_path / "t")
+    d1 = _docs(spark, 30, tag="a")
+    manifests.checkpointed_write(spark, d1, out, N_BUCKETS, "snap-a")
+    all_ids = _ids(d1)
+    victims = sorted(all_ids)[:7]
+
+    res = manifests.delete_keys(spark, out, victims)
+    assert res["n_keys"] == 7
+    got = _ids(manifests.read_committed(spark, out))
+    assert got == all_ids - set(victims)
+
+    # re-insert two of the deleted keys in a later delivery: visible
+    # again (their epoch postdates the delete)
+    back = d1.filter(F.col("doc_id").isin(victims[:2]))
+    manifests.checkpointed_write(spark, back, out, N_BUCKETS, "snap-b")
+    got2 = _ids(manifests.read_committed(spark, out))
+    assert got2 == (all_ids - set(victims)) | set(victims[:2])
+
+
+def test_delete_time_travel_and_compaction(spark, tmp_path):
+    out = str(tmp_path / "t2")
+    d1 = _docs(spark, 30, tag="x")
+    manifests.checkpointed_write(spark, d1, out, N_BUCKETS, "s1")
+    all_ids = _ids(d1)
+    before_delete = time.time()
+    time.sleep(0.01)
+    victims = sorted(all_ids)[:5]
+    manifests.delete_keys(spark, out, victims)
+
+    # as-of before the delete: everything visible
+    assert _ids(manifests.read_as_of(spark, out, before_delete)) == all_ids
+    # as-of now: deletes applied
+    assert _ids(manifests.read_as_of(spark, out, time.time())) == all_ids - set(victims)
+
+    # compaction applies tombstones physically: raw files of the new
+    # epoch no longer contain the victims, and reads are unchanged
+    res = manifests.compact(spark, out, min_epochs=1)
+    assert res["new_epoch"] is not None
+    raw = spark.read.parquet(f"{out}/data").filter(
+        F.col("epoch") == res["new_epoch"]
+    )
+    assert _ids(raw) == all_ids - set(victims)
+    assert _ids(manifests.read_committed(spark, out)) == all_ids - set(victims)
+
+
+def test_pruned_and_lookup_readers_honor_deletes(spark, tmp_path):
+    out = str(tmp_path / "t3")
+    d1 = _docs(spark, 30, tag="y")
+    manifests.checkpointed_write(
+        spark, d1, out, N_BUCKETS, "s1", stats_cols=["n_chars"], bloom_key=True
+    )
+    all_ids = sorted(_ids(d1))
+    victims = all_ids[:3]
+    manifests.delete_keys(spark, out, victims)
+
+    pr = manifests.pruned_read(spark, out, [("n_chars", ">=", 0)])
+    assert set(victims) & _ids(pr) == set()
+
+    lk = manifests.lookup_read(spark, out, victims + all_ids[3:5])
+    assert _ids(lk) == set(all_ids[3:5])
