@@ -732,6 +732,35 @@ def delete_keys(spark: SparkSession, out_dir: str, keys, key_col: str | None = N
     return {"delete_epoch": epoch, "n_keys": n}
 
 
+def upsert_write(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    n_buckets: int,
+    input_snapshot: str,
+    **kwargs,
+) -> dict:
+    """MERGE (upsert) as delete-then-append: equality-delete the
+    incoming keys, then land the delivery through the normal
+    checkpointed write — matched rows are replaced (the new epoch's
+    commit postdates the tombstone), unmatched rows insert, untouched
+    rows stay. Two metadata-bounded commits, no data-file rewrite: the
+    merge-on-read form of MERGE INTO. kwargs pass through to
+    :func:`checkpointed_write` (key_col, stats_cols, bloom_key, ...).
+
+    Resume caveat: re-running an interrupted upsert with the same
+    ``input_snapshot`` re-commits a (harmless, idempotent-in-effect)
+    tombstone for the same keys, then the append anti-join skips
+    completed buckets exactly as any resumed delivery."""
+    key_col = kwargs.get("key_col", "doc_id")
+    meta = read_table_meta(out_dir)
+    if meta is not None:  # table exists: retract the matched keys first
+        delete_keys(spark, out_dir, df.select(key_col), key_col=key_col)
+    return checkpointed_write(
+        spark, df, out_dir, n_buckets, input_snapshot, **kwargs
+    )
+
+
 def _delete_index(
     spark: SparkSession, out_dir: str, key_col: str, as_of: float | None = None
 ) -> DataFrame | None:

@@ -90,3 +90,36 @@ def test_pruned_and_lookup_readers_honor_deletes(spark, tmp_path):
 
     lk = manifests.lookup_read(spark, out, victims + all_ids[3:5])
     assert _ids(lk) == set(all_ids[3:5])
+
+
+def test_upsert_write_replaces_matched_inserts_new(spark, tmp_path):
+    out = str(tmp_path / "u")
+    d1 = _docs(spark, 30, tag="z")
+    manifests.checkpointed_write(spark, d1, out, N_BUCKETS, "base")
+    base = {
+        r["doc_id"]: r["n_spans"]
+        for r in d1.select("doc_id", F.size("spans").alias("n_spans")).collect()
+    }
+    assert any(v > 1 for v in base.values())  # truncation is observable
+
+    some = sorted(k for k, v in base.items() if v > 1)[:5]
+    # updated rows: spans truncated to 1 — the observable "new version"
+    upd = d1.filter(F.col("doc_id").isin(some)).withColumn(
+        "spans", F.slice("spans", 1, 1)
+    )
+    new = _docs(spark, 3, tag="new")
+    manifests.upsert_write(spark, upd.unionByName(new), out, N_BUCKETS, "merge-1")
+
+    got = {
+        r["doc_id"]: r["n_spans"]
+        for r in manifests.read_committed(spark, out)
+        .select("doc_id", F.size("spans").alias("n_spans"))
+        .collect()
+    }
+    assert set(got) == set(base) | _ids(new)
+    for k in some:
+        assert got[k] == 1             # matched rows replaced
+    for k in set(base) - set(some):
+        assert got[k] == base[k]       # untouched rows intact
+    # exactly one row per key (the old versions are tombstoned)
+    assert manifests.read_committed(spark, out).count() == len(base) + 3
