@@ -732,6 +732,90 @@ def delete_keys(spark: SparkSession, out_dir: str, keys, key_col: str | None = N
     return {"delete_epoch": epoch, "n_keys": n}
 
 
+def changes_between(
+    spark: SparkSession,
+    out_dir: str,
+    t1: float,
+    t2: float,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Incremental (CDC) read: the row changes between two snapshot
+    instants, as full rows tagged ``_op`` ('I' insert / 'D' delete) —
+    the Iceberg incremental-scan analogue. Contract (tested exactly
+    this way): REPLAYING the changes onto ``read_as_of(t1)`` — drop the
+    D keys, add the I rows — reproduces ``read_as_of(t2)``. An upsert
+    inside the window emits its D+I pair; an insert-then-delete inside
+    the window nets to nothing.
+
+    Metadata-pruned on the insert side: only DATA epochs committed in
+    (t1, t2] are scanned (compaction epochs are rewrites, not changes —
+    excluded via the compaction records), with deletes-as-of-t2 applied
+    so an insert-then-delete inside the window nets out. The delete
+    side reads the window's tombstones (delivery-sized) and keeps keys
+    that were visible at t1 — served from the t1 snapshot so the
+    emitted delete carries the full old row. A downstream consumer
+    replays the table by applying D then I per key."""
+    m = read_manifests(spark, out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifests under {out_dir}")
+    meta = read_table_meta(out_dir)
+    key_col = meta["key_col"] if meta else "doc_id"
+    c = read_compactions(spark, out_dir)
+    compaction_epochs = (
+        {r["job_epoch"] for r in c.select("job_epoch").distinct().collect()}
+        if c is not None
+        else set()
+    )
+    ct = F.coalesce(
+        (F.col("committed_at") if "committed_at" in m.columns else F.lit(None)).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    win = m.withColumn("_ct", ct).filter(
+        (F.col("_ct") > F.lit(t1)) & (F.col("_ct") <= F.lit(t2))
+    )
+    new_epochs = [
+        r["job_epoch"]
+        for r in win.select("job_epoch").distinct().collect()
+        if r["job_epoch"] not in compaction_epochs
+    ]
+    ms = str(merge_schema).lower()
+    snap1 = read_as_of(spark, out_dir, t1, merge_schema=merge_schema)
+    if new_epochs:
+        paths = []
+        for r in win.filter(
+            F.col("job_epoch").isin(new_epochs)
+        ).select("bucket", "job_epoch").distinct().collect():
+            paths.append(
+                os.path.join(
+                    _data_dir(out_dir),
+                    f"bucket={r['bucket']}",
+                    f"epoch={r['job_epoch']}",
+                )
+            )
+        ins = spark.read.option("mergeSchema", ms).option(
+            "basePath", _data_dir(out_dir)
+        ).parquet(*paths)
+        ins = _minus_deletes(spark, out_dir, ins, as_of=t2).drop(
+            "bucket", "epoch", "input_snapshot"
+        )
+    else:
+        ins = snap1.where(F.lit(False))
+    # deletes: keys whose latest tombstone landed in the window AND that
+    # were visible at t1 (full old rows served from the t1 snapshot)
+    idx2 = _delete_index(spark, out_dir, key_col, as_of=t2)
+    dels = snap1.where(F.lit(False))
+    if idx2 is not None:
+        win_keys = idx2.filter(
+            (F.col("_last_del") > F.lit(t1)) & (F.col("_last_del") <= F.lit(t2))
+        ).select(key_col)
+        dels = snap1.join(win_keys, on=key_col, how="left_semi")
+    return ins.withColumn("_op", F.lit("I")).unionByName(
+        dels.withColumn("_op", F.lit("D"))
+    )
+
+
 def upsert_write(
     spark: SparkSession,
     df: DataFrame,

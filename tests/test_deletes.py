@@ -123,3 +123,52 @@ def test_upsert_write_replaces_matched_inserts_new(spark, tmp_path):
         assert got[k] == base[k]       # untouched rows intact
     # exactly one row per key (the old versions are tombstoned)
     assert manifests.read_committed(spark, out).count() == len(base) + 3
+
+
+def test_changes_between_replays_to_snapshot(spark, tmp_path):
+    """CDC contract: applying the window's changes (drop D keys, add I
+    rows) to the t1 snapshot reproduces the t2 snapshot — across an
+    append, a delete, an upsert, and an insert-then-delete that must
+    net out."""
+    out = str(tmp_path / "cdc")
+    d1 = _docs(spark, 25, tag="c")
+    manifests.checkpointed_write(spark, d1, out, N_BUCKETS, "base")
+    t1 = time.time()
+    time.sleep(0.01)
+
+    ids = sorted(_ids(d1))
+    # window activity: delete 3, upsert 2 (of the survivors), append 4
+    # new, and insert+delete one key inside the window
+    manifests.delete_keys(spark, out, ids[:3])
+    upd = d1.filter(F.col("doc_id").isin(ids[5:7])).withColumn(
+        "spans", F.slice("spans", 1, 1)
+    )
+    manifests.upsert_write(spark, upd, out, N_BUCKETS, "m1")
+    newly = _docs(spark, 4, tag="cnew")
+    manifests.checkpointed_write(spark, newly, out, N_BUCKETS, "d2")
+    ephemeral = _docs(spark, 1, tag="ceph")
+    manifests.checkpointed_write(spark, ephemeral, out, N_BUCKETS, "d3")
+    manifests.delete_keys(spark, out, sorted(_ids(ephemeral)))
+    time.sleep(0.01)
+    t2 = time.time()
+
+    snap1 = manifests.read_as_of(spark, out, t1)
+    snap2 = manifests.read_as_of(spark, out, t2)
+    ch = manifests.changes_between(spark, out, t1, t2)
+    d_keys = {r["doc_id"] for r in ch.filter(F.col("_op") == "D").collect()}
+    ins = ch.filter(F.col("_op") == "I").drop("_op")
+
+    def rows(df):
+        return {
+            (r["doc_id"], len(r["spans"])) for r in df.collect()
+        }
+
+    replayed = rows(snap1.filter(~F.col("doc_id").isin(list(d_keys)))) | rows(ins)
+    assert replayed == rows(snap2)
+    # the ephemeral insert-then-delete netted out entirely
+    eph = next(iter(_ids(ephemeral)))
+    got_ids = {r["doc_id"] for r in ch.collect()}
+    assert eph not in got_ids
+    # the upserted keys appear as both D and I
+    i_keys = {r["doc_id"] for r in ch.filter(F.col("_op") == "I").collect()}
+    assert set(ids[5:7]) <= d_keys and set(ids[5:7]) <= i_keys
