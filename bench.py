@@ -81,6 +81,11 @@ EXTRA = [
     "dsir_select",
     "cap_per_source",
     "time_travel",
+    "deleted_read",
+    "trailing_window",
+    "quality_checks",
+    "hard_negatives",
+    "knn_label_vote",
 ]
 
 
