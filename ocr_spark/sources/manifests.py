@@ -148,12 +148,13 @@ def _manifest_view(df: DataFrame) -> DataFrame:
     tolerating tables written before zone-map stats / key blooms existed
     (absent → null)."""
 
-    def opt(c: str):
-        return F.col(c) if c in df.columns else F.lit(None).cast("string")
+    def opt(c: str, typ: str = "string"):
+        return F.col(c).cast(typ) if c in df.columns else F.lit(None).cast(typ)
 
     return df.select(
         *_MANIFEST_COLS, opt("col_stats").alias("col_stats"),
         opt("key_bloom").alias("key_bloom"),
+        opt("committed_at", "double").alias("committed_at"),
     )
 
 
@@ -732,6 +733,119 @@ def delete_keys(spark: SparkSession, out_dir: str, keys, key_col: str | None = N
     return {"delete_epoch": epoch, "n_keys": n}
 
 
+def _delete_expiry_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "delete_expiries")
+
+
+def _expired_delete_epochs(spark: SparkSession, out_dir: str) -> set:
+    try:
+        df = spark.read.parquet(_delete_expiry_dir(out_dir))
+    except AnalysisException as e:
+        if _is_path_missing(e):
+            return set()
+        raise
+    return {r["epoch"] for r in df.select("epoch").distinct().collect()}
+
+
+def expire(spark: SparkSession, out_dir: str, older_than: float) -> dict:
+    """Retention sweep (the Iceberg expire-snapshots analogue): after
+    this, time travel to instants BEFORE ``older_than`` may read
+    incomplete data — that is the retention contract — while every read
+    as-of ``older_than`` or later is untouched. Physically removes:
+
+    1. data epochs superseded by a compaction committed at or before
+       ``older_than`` (reads ≥ that instant resolve to the compacted
+       epoch, never these);
+    2. tombstone epochs that are INERT for all surviving reads: the
+       tombstone committed ≤ ``older_than`` AND every live data epoch's
+       commit postdates it (true after any compaction, which rewrites
+       the data with a fresh stamp). Tombstone removal is crash-safe:
+       an expiry marker (single-file append to ``delete_expiries/``)
+       commits first, the key files are removed after — a crash between
+       leaves orphaned-but-invisible files.
+
+    Run it on the compactor's schedule with ``older_than = now −
+    retention_window``."""
+    import glob as _glob
+    import shutil
+
+    c = read_compactions(spark, out_dir)
+    removed_data = 0
+    if c is not None:
+        ct = (
+            F.col("committed_at") if "committed_at" in c.columns else F.lit(None)
+        )
+        old_c = c.withColumn("_ct", F.coalesce(ct.cast("double"), F.lit(0.0))).filter(
+            F.col("_ct") <= F.lit(older_than)
+        )
+        sup = {
+            r["job_epoch"]
+            for r in old_c.select(F.explode("superseded").alias("job_epoch"))
+            .distinct()
+            .collect()
+        }
+        for e in sup:
+            for d in _glob.glob(
+                os.path.join(_data_dir(out_dir), "bucket=*", f"epoch={e}")
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+                removed_data += 1
+
+    removed_tomb = 0
+    try:
+        dm = spark.read.parquet(_delete_manifest_dir(out_dir))
+    except AnalysisException as e:
+        if _is_path_missing(e):
+            dm = None
+        else:
+            raise
+    if dm is not None:
+        already = _expired_delete_epochs(spark, out_dir)
+        # a tombstone is inert only if EVERY data epoch visible to ANY
+        # read as-of >= older_than postdates it. That visible union is:
+        # all manifest + compaction epochs, minus those superseded by a
+        # compaction committed at or before older_than (invisible to
+        # every surviving read) — NOT merely the live-now set: an epoch
+        # superseded by a NEWER compaction is still read by as-of
+        # instants between older_than and that compaction.
+        sup_old: set = set()
+        if c is not None:
+            sup_old = {
+                r["job_epoch"]
+                for r in old_c.select(F.explode("superseded").alias("job_epoch"))
+                .distinct()
+                .collect()
+            }
+        stamps = _epoch_commit_stamps(spark, out_dir)
+        vis = stamps.filter(~F.col("epoch").isin(list(sup_old)) if sup_old else F.lit(True))
+        row = vis.agg(F.min("_dct")).collect()[0]
+        min_live = row[0]
+        candidates = dm.filter(F.col("committed_at") <= F.lit(older_than))
+        if min_live is not None:
+            candidates = candidates.filter(F.col("committed_at") < F.lit(min_live))
+        else:
+            candidates = candidates.where(F.lit(False))  # no stamps: keep all
+        eps = [
+            r["epoch"]
+            for r in candidates.select("epoch").distinct().collect()
+            if r["epoch"] not in already
+        ]
+        if eps:
+            marker = spark.createDataFrame(
+                [(e, time.time()) for e in eps], "epoch string, expired_at double"
+            )
+            marker.coalesce(1).write.mode("append").parquet(
+                _delete_expiry_dir(out_dir)
+            )
+            for e in eps:
+                shutil.rmtree(
+                    os.path.join(_deletes_dir(out_dir), f"epoch={e}"),
+                    ignore_errors=True,
+                )
+                removed_tomb += 1
+    return {"data_epoch_dirs_removed": removed_data, "tombstone_epochs_removed": removed_tomb}
+
+
 def changes_between(
     spark: SparkSession,
     out_dir: str,
@@ -858,7 +972,12 @@ def _delete_index(
         raise
     if as_of is not None:
         dm = dm.filter(F.col("committed_at") <= F.lit(as_of))
-    commits = dm.select("epoch", "committed_at").distinct().collect()
+    expired = _expired_delete_epochs(spark, out_dir)
+    commits = [
+        r
+        for r in dm.select("epoch", "committed_at").distinct().collect()
+        if r["epoch"] not in expired
+    ]
     if not commits:
         return None
     paths = [

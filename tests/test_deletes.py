@@ -172,3 +172,39 @@ def test_changes_between_replays_to_snapshot(spark, tmp_path):
     # the upserted keys appear as both D and I
     i_keys = {r["doc_id"] for r in ch.filter(F.col("_op") == "I").collect()}
     assert set(ids[5:7]) <= d_keys and set(ids[5:7]) <= i_keys
+
+
+def test_expire_removes_superseded_and_inert_tombstones(spark, tmp_path):
+    """Retention: expire removes epochs superseded by an old-enough
+    compaction AND tombstones every live epoch postdates, leaving
+    current reads identical; a cutoff before the compaction removes
+    nothing."""
+    import glob as _glob
+
+    out = str(tmp_path / "exp")
+    d1 = _docs(spark, 25, tag="e")
+    manifests.checkpointed_write(spark, d1, out, N_BUCKETS, "s1")
+    all_ids = _ids(d1)
+    victims = sorted(all_ids)[:4]
+    manifests.delete_keys(spark, out, victims)
+    pre_compact = time.time()
+    time.sleep(0.01)
+    manifests.compact(spark, out, min_epochs=1)
+    want = all_ids - set(victims)
+    assert _ids(manifests.read_committed(spark, out)) == want
+
+    # cutoff BEFORE the compaction: nothing is removable
+    res0 = manifests.expire(spark, out, older_than=pre_compact)
+    assert res0 == {"data_epoch_dirs_removed": 0, "tombstone_epochs_removed": 0}
+
+    time.sleep(0.01)
+    res = manifests.expire(spark, out, older_than=time.time())
+    assert res["data_epoch_dirs_removed"] > 0
+    assert res["tombstone_epochs_removed"] == 1
+    # tombstone files gone, expiry marker present
+    assert _glob.glob(f"{out}/deletes/epoch=*") == []
+    # current reads identical after retention
+    assert _ids(manifests.read_committed(spark, out)) == want
+    # idempotent re-run
+    res2 = manifests.expire(spark, out, older_than=time.time())
+    assert res2["tombstone_epochs_removed"] == 0
