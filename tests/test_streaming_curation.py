@@ -31,7 +31,7 @@ def _run_stream(spark, df, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "streaming query did not drain in time"
     return spark.sql(f"SELECT * FROM {name}")
 
 

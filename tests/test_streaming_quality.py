@@ -34,7 +34,7 @@ def _run_stream(spark, df, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "streaming query did not drain in time"
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -114,7 +114,7 @@ def test_unigram_model_score_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "streaming query did not drain in time"
 
     want = quality.score_with_unigram_model(docs, model).collect()
     g = {r["doc_id"]: (r["n_tok"], round(r["logprob"], 9)) for r in got_rows}

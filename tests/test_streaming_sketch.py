@@ -40,7 +40,7 @@ def _tokens(df):
 
 def _drain(writer, ckpt):
     q = writer.option("checkpointLocation", ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "streaming query did not drain in time"
 
 
 def test_cms_stream_equals_batch_and_replay_is_noop(spark, tmp_path):

@@ -47,7 +47,7 @@ def test_stream_asof_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "streaming query did not drain in time"
 
     want = asof_join(purchases, dim, on="user_id", right_cols=["dim_id"]).collect()
     key = lambda rows: sorted((r.event_id, r.dim_id, r.matched_ts) for r in rows)
@@ -93,7 +93,7 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "streaming query did not drain in time"
     got = {
         (r["user_id"], r["click_id"], r["buy_id"])
         for r in spark.sql("select * from ssj").collect()
