@@ -693,7 +693,13 @@ def _delete_manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "delete_manifests")
 
 
-def delete_keys(spark: SparkSession, out_dir: str, keys, key_col: str | None = None) -> dict:
+def delete_keys(
+    spark: SparkSession,
+    out_dir: str,
+    keys,
+    key_col: str | None = None,
+    input_snapshot: str | None = None,
+) -> dict:
     """Commit an equality-delete: every committed row whose key is in
     ``keys`` becomes invisible to readers — WITHOUT rewriting any data
     file (merge-on-read; the GDPR/right-to-be-forgotten and correction
@@ -709,7 +715,13 @@ def delete_keys(spark: SparkSession, out_dir: str, keys, key_col: str | None = N
     single-file append to ``delete_manifests/`` makes them live.
 
     Compaction applies live tombstones physically (the rewritten epoch's
-    stamp postdates them, so they turn inert afterwards)."""
+    stamp postdates them, so they turn inert afterwards).
+
+    ``input_snapshot`` (optional) records which delivery this tombstone
+    belongs to — :func:`upsert_write` stamps its snapshot here so a
+    retried MERGE can detect that its retraction already committed and
+    must NOT re-tombstone (a fresh tombstone would postdate the
+    already-committed data epoch and silently suppress the delivery)."""
     meta = read_table_meta(out_dir)
     if meta is None:
         raise FileNotFoundError(f"no meta.json under {out_dir} — nothing written yet")
@@ -727,10 +739,34 @@ def delete_keys(spark: SparkSession, out_dir: str, keys, key_col: str | None = N
         os.path.join(_deletes_dir(out_dir), f"epoch={epoch}")
     ).count()
     rec = spark.createDataFrame(
-        [(epoch, n, time.time())], "epoch string, n_keys long, committed_at double"
+        [(epoch, n, time.time(), input_snapshot)],
+        "epoch string, n_keys long, committed_at double, input_snapshot string",
     )
     rec.coalesce(1).write.mode("append").parquet(_delete_manifest_dir(out_dir))
     return {"delete_epoch": epoch, "n_keys": n}
+
+
+def _snapshot_tombstoned(
+    spark: SparkSession, out_dir: str, input_snapshot: str
+) -> bool:
+    """True when a committed tombstone is already stamped with this
+    delivery snapshot — the retry-detection read for
+    :func:`upsert_write`. mergeSchema because pre-stamping tombstone
+    records lack the column (they read as null, never matching)."""
+    try:
+        dm = spark.read.option("mergeSchema", "true").parquet(
+            _delete_manifest_dir(out_dir)
+        )
+    except AnalysisException as e:
+        if _is_path_missing(e):
+            return False
+        raise
+    if "input_snapshot" not in dm.columns:
+        return False
+    return (
+        dm.filter(F.col("input_snapshot") == F.lit(input_snapshot)).limit(1).count()
+        > 0
+    )
 
 
 def _delete_expiry_dir(out_dir: str) -> str:
@@ -946,14 +982,31 @@ def upsert_write(
     merge-on-read form of MERGE INTO. kwargs pass through to
     :func:`checkpointed_write` (key_col, stats_cols, bloom_key, ...).
 
-    Resume caveat: re-running an interrupted upsert with the same
-    ``input_snapshot`` re-commits a (harmless, idempotent-in-effect)
-    tombstone for the same keys, then the append anti-join skips
-    completed buckets exactly as any resumed delivery."""
+    Retry-safe: the retraction tombstone is stamped with this
+    delivery's ``input_snapshot``, and a re-run (same snapshot) SKIPS
+    the delete step when that stamp is already committed — the first
+    run's tombstone already retracted the matched keys, and committing
+    a fresh one would postdate the delivery's own data epoch, so
+    ``_minus_deletes`` would suppress the delivered rows while the
+    resume anti-join skips re-writing them (silent data loss). With the
+    skip, every crash point resumes cleanly: before the tombstone
+    commit nothing is visible; between tombstone and data the retry
+    goes straight to the append; mid-append the bucket anti-join
+    finishes the remainder; after completion the retry is a no-op.
+    Contract (same as :func:`checkpointed_write`): one ``input_snapshot``
+    == one immutable delivery — never reuse a snapshot id for
+    different rows."""
     key_col = kwargs.get("key_col", "doc_id")
     meta = read_table_meta(out_dir)
-    if meta is not None:  # table exists: retract the matched keys first
-        delete_keys(spark, out_dir, df.select(key_col), key_col=key_col)
+    if meta is not None and not _snapshot_tombstoned(spark, out_dir, input_snapshot):
+        # table exists and this delivery has not retracted yet
+        delete_keys(
+            spark,
+            out_dir,
+            df.select(key_col),
+            key_col=key_col,
+            input_snapshot=input_snapshot,
+        )
     return checkpointed_write(
         spark, df, out_dir, n_buckets, input_snapshot, **kwargs
     )

@@ -208,3 +208,74 @@ def test_expire_removes_superseded_and_inert_tombstones(spark, tmp_path):
     # idempotent re-run
     res2 = manifests.expire(spark, out, older_than=time.time())
     assert res2["tombstone_epochs_removed"] == 0
+
+
+def test_upsert_retry_after_completion_is_lossless(spark, tmp_path):
+    """ADVICE r03 (high): re-running a completed upsert with the same
+    input_snapshot must NOT lose the delivery — the retry detects its
+    committed tombstone stamp and skips the delete step, so no fresh
+    tombstone postdates the delivered epoch."""
+    out = str(tmp_path / "ur")
+    d1 = _docs(spark, 20, tag="r")
+    manifests.checkpointed_write(spark, d1, out, N_BUCKETS, "base")
+    base = _ids(d1)
+
+    some = sorted(base)[:4]
+    upd = d1.filter(F.col("doc_id").isin(some)).withColumn(
+        "spans", F.slice("spans", 1, 1)
+    )
+    manifests.upsert_write(spark, upd, out, N_BUCKETS, "merge-r")
+    want = {
+        r["doc_id"]: r["n"]
+        for r in manifests.read_committed(spark, out)
+        .select("doc_id", F.size("spans").alias("n"))
+        .collect()
+    }
+    assert set(want) == base and all(want[k] == 1 for k in some)
+
+    # the retry: same call, same snapshot — must be a pure no-op
+    manifests.upsert_write(spark, upd, out, N_BUCKETS, "merge-r")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in manifests.read_committed(spark, out)
+        .select("doc_id", F.size("spans").alias("n"))
+        .collect()
+    }
+    assert got == want  # rows survive, values intact, no dupes
+
+    # exactly one tombstone carries this snapshot stamp
+    dm = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/delete_manifests"
+    )
+    assert dm.filter(F.col("input_snapshot") == "merge-r").count() == 1
+
+
+def test_upsert_resume_between_tombstone_and_data(spark, tmp_path):
+    """Crash point: tombstone committed, data not yet landed. The retry
+    must skip straight to the append (no second tombstone) and the
+    delivery becomes fully visible."""
+    out = str(tmp_path / "uc")
+    d1 = _docs(spark, 20, tag="c")
+    manifests.checkpointed_write(spark, d1, out, N_BUCKETS, "base")
+    base = _ids(d1)
+
+    some = sorted(base)[:5]
+    upd = d1.filter(F.col("doc_id").isin(some)).withColumn(
+        "spans", F.slice("spans", 1, 1)
+    )
+    # simulate the first run dying right after its delete committed
+    manifests.delete_keys(spark, out, upd.select("doc_id"), input_snapshot="m-crash")
+    assert _ids(manifests.read_committed(spark, out)) == base - set(some)
+
+    manifests.upsert_write(spark, upd, out, N_BUCKETS, "m-crash")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in manifests.read_committed(spark, out)
+        .select("doc_id", F.size("spans").alias("n"))
+        .collect()
+    }
+    assert set(got) == base and all(got[k] == 1 for k in some)
+    dm = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/delete_manifests"
+    )
+    assert dm.filter(F.col("input_snapshot") == "m-crash").count() == 1
