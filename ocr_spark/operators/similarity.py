@@ -145,12 +145,90 @@ def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> 
     return F.element_at(F.array_sort(_centroid_sims(vec, centroids)), 1)["cid"]
 
 
+# Above this many centroids the plan-literal expression form is the wrong
+# tool: a 50k-centroid literal tree is an unplannable expression and an
+# O(n_lists) per-row array_sort. The Arrow matmul path takes over there.
+ASSIGN_EXPR_MAX_LISTS = 2048
+
+
+def centroid_probe_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-vectorized nprobe-nearest-centroid assignment: one
+    (batch × dim) @ (dim × n_lists) matrix multiply scores every centroid
+    for every vector at once (the band_sigs_udf pattern) — the scale-safe
+    replacement for the plan-literal expression form, whose analysis cost
+    caps n_lists at a few thousand (VERDICT r03 #3). The centroid matrix
+    rides the serialized task closure, shipped once per executor via the
+    task broadcast — at SemDeDup's web-scale 50k lists × 64 dims that is
+    ~25 MB, far below executor memory, and never per-row.
+
+    Ordering contract matches ``_probe_list_ids`` exactly: descending
+    cosine, ties to the lower centroid id (stable argsort over
+    position-ordered cids)."""
+    order_pos = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    cmat = np.array([centroids[i][1] for i in order_pos], dtype=np.float64)
+    cids = np.array([centroids[i][0] for i in order_pos], dtype=np.int64)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = 1.0
+    take = min(nprobe, len(centroids))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        sims = (mat @ cmat.T) / (vn[:, None] * cn[None, :])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        return pd.Series([cids[row].astype(int).tolist() for row in order])
+
+    return _probe
+
+
+def _resolve_assign(mode: str, n_lists: int) -> str:
+    if mode == "auto":
+        return "expr" if n_lists <= ASSIGN_EXPR_MAX_LISTS else "matmul"
+    if mode not in ("expr", "matmul"):
+        raise ValueError(f"assign mode {mode!r} not in ('auto', 'expr', 'matmul')")
+    return mode
+
+
+def probe_ids(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 1,
+    assign: str = "auto",
+) -> Column:
+    """``array<int>`` of the nprobe nearest centroid ids by cosine,
+    ties → lower cid. ``assign='expr'`` inlines centroids as plan
+    literals (bit-stable with the DuckDB replay oracles, bounded by
+    ASSIGN_EXPR_MAX_LISTS); ``'matmul'`` is the Arrow batch-matmul form
+    (unbounded n_lists; equivalence gated in tests/test_ann.py);
+    ``'auto'`` picks by centroid count."""
+    if _resolve_assign(assign, len(centroids)) == "expr":
+        return F.transform(
+            F.slice(F.array_sort(_centroid_sims(vec, centroids)), 1, nprobe),
+            lambda s: s["cid"],
+        )
+    return centroid_probe_udf(centroids, nprobe)(vec)
+
+
+def nearest_id(
+    vec: Column, centroids: list[tuple[int, list[float]]], assign: str = "auto"
+) -> Column:
+    """Nearest-centroid id under the same mode contract as probe_ids."""
+    if _resolve_assign(assign, len(centroids)) == "expr":
+        return _nearest_centroid(vec, centroids)
+    return F.element_at(centroid_probe_udf(centroids, 1)(vec), 1)
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_lists: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 1,
+    assign: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic IVF centroids: seed with md5-ranked corpus vectors,
     then ``refine_iters`` Lloyd steps computed distributively
@@ -170,7 +248,7 @@ def ivf_centroids(
         # during the Generate rewrite (FIELD_NOT_FOUND col1/col2)
         assigned = embeddings.select(
             F.col(vec_col).alias("_v"),
-            _nearest_centroid(F.col(vec_col), centroids).alias("list_id"),
+            nearest_id(F.col(vec_col), centroids, assign).alias("list_id"),
         ).select("list_id", F.posexplode("_v").alias("dim_idx", "val"))
         means = (
             assigned.groupBy("list_id", "dim_idx")
@@ -195,30 +273,28 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF-flat approximate top-k: the corpus is bucketed by nearest
     centroid; each query scans only its ``nprobe`` nearest lists. The
     probe is an equi-join on ``list_id`` — at 10^12 scale the inverted
-    lists replace the per-query corpus scan, and the centroid table is a
-    driver-side literal (n_lists ≤ a few thousand)."""
-    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    lists replace the per-query corpus scan. Centroid assignment is the
+    plan-literal expression below ASSIGN_EXPR_MAX_LISTS (bit-stable with
+    the replay oracles) and the Arrow matmul UDF beyond — n_lists is no
+    longer capped by expression-analysis cost."""
+    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col, assign=assign)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("list_id"),
+        nearest_id(F.col(vec_col), centroids, assign).alias("list_id"),
     )
     # per-query nprobe nearest centroids, exploded to probe rows
-    cent_sims = _centroid_sims(F.col("qv"), centroids)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         ).withColumn(
             "list_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(cent_sims), 1, nprobe), lambda s: s["cid"]
-                )
-            ),
+            F.explode(probe_ids(F.col("qv"), centroids, nprobe, assign)),
         )
     )
     scored = (
@@ -244,6 +320,7 @@ def build_ivf_index(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> None:
     """Materialize the IVF structure as TABLES (the production form named
     in SCALING.md — at 10^12 vectors the centroid assignment must not be
@@ -256,7 +333,7 @@ def build_ivf_index(
       query batch touches nprobe/n_lists of the data at rest.
     """
     spark = embeddings.sparkSession
-    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col, assign=assign)
     cdf = spark.createDataFrame(
         [(cid, list(map(float, vec))) for cid, vec in centroids],
         "list_id int, centroid array<double>",
@@ -265,7 +342,7 @@ def build_ivf_index(
     assigned = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("list_id"),
+        nearest_id(F.col(vec_col), centroids, assign).alias("list_id"),
     )
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{out_dir}/lists")
 
@@ -278,6 +355,7 @@ def ivf_topk_indexed(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """Probe a materialized IVF index: centroids load as driver literals
     (n_lists rows — the one bounded collect), each query explodes to its
@@ -290,17 +368,12 @@ def ivf_topk_indexed(
         for r in spark.read.parquet(f"{index_dir}/centroids").collect()
     ]
     corpus = spark.read.parquet(f"{index_dir}/lists")
-    cent_sims = _centroid_sims(F.col("qv"), centroids)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         ).withColumn(
             "list_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(cent_sims), 1, nprobe), lambda s: s["cid"]
-                )
-            ),
+            F.explode(probe_ids(F.col("qv"), centroids, nprobe, assign)),
         )
     )
     scored = (
@@ -413,6 +486,52 @@ def _probe_list_ids(vec: Column, centroids: list[tuple[int, list[float]]], nprob
     )
 
 
+def _block_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster pairs via one BLAS matmul per cluster block — the
+    computation SemDeDup actually runs per cluster, replacing the
+    self-join's per-pair JVM fold (O(block² · dim) scalar adds) with
+    chunked (chunk × dim) @ (dim × block) matrix products. Input columns
+    (list_id, id, v, nrm); output (list_id, a, b, sim) with a < b,
+    sim ≥ threshold, one row per (list, pair). Memory per task is
+    O(chunk · block), never O(block²)."""
+    thr = float(threshold)
+    id_type = dict(zip(assigned.columns, [f.dataType.simpleString() for f in assigned.schema.fields]))["id"]
+    schema = f"list_id int, a {id_type}, b {id_type}, sim double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = len(pdf)
+        empty = pd.DataFrame({"list_id": [], "a": [], "b": [], "sim": []})
+        if k < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        lid = int(pdf["list_id"].iloc[0])
+        outs = []
+        chunk = 1024
+        for i0 in range(0, k, chunk):
+            i1 = min(i0 + chunk, k)
+            sims = (V[i0:i1] @ V.T) / np.outer(nrm[i0:i1], nrm)
+            rows, cols = np.nonzero(sims >= thr)
+            keep = cols > rows + i0  # upper triangle: a < b by sorted id
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "list_id": lid,
+                            "a": ids[rows + i0],
+                            "b": ids[cols],
+                            "sim": sims[rows, cols],
+                        }
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
+    return assigned.select("list_id", "id", "v", "nrm").groupBy("list_id").applyInPandas(fn, schema)
+
+
 def semantic_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -421,6 +540,8 @@ def semantic_dup_pairs(
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
+    pairs_impl: str = "block",
 ) -> DataFrame:
     """Semantic near-duplicate pairs the SemDeDup way (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings by nearest centroid, then
@@ -440,36 +561,48 @@ def semantic_dup_pairs(
     (list_id) self-join and the pair dedup. Join parallelism equals
     n_lists·nprobe, and per-cluster work is quadratic in cluster size —
     size n_lists ~ N/target_cluster_rows (SemDeDup used 50k clusters for
-    LAION-440M) so blocks stay bounded; AQE splits stragglers.
+    LAION-440M) so blocks stay bounded; AQE splits stragglers. The
+    ``assign`` mode lifts the old plan-literal n_lists ceiling: 'auto'
+    switches to the Arrow matmul UDF beyond ASSIGN_EXPR_MAX_LISTS, so
+    web-scale cluster counts are reachable.
     """
-    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col, refine_iters)
+    centroids = ivf_centroids(
+        embeddings, n_lists, id_col, vec_col, refine_iters, assign=assign
+    )
     assigned = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(
-            _probe_list_ids(F.col(vec_col), centroids, nprobe)
+            probe_ids(F.col(vec_col), centroids, nprobe, assign)
         ).alias("list_id"),
     ).withColumn("nrm", norm(F.col("v")))
-    a = assigned.select(
-        "list_id",
-        F.col("id").alias("a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        "list_id",
-        F.col("id").alias("b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if pairs_impl == "block":
+        pairs = _block_pairs(assigned, threshold)
+    elif pairs_impl == "join":
+        a = assigned.select(
+            "list_id",
+            F.col("id").alias("a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        b = assigned.select(
+            "list_id",
+            F.col("id").alias("b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        pairs = (
+            a.join(b, on="list_id")
+            .filter(F.col("a") < F.col("b"))
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= F.lit(float(threshold)))
+        )
+    else:
+        raise ValueError(f"pairs_impl {pairs_impl!r} not in ('block', 'join')")
     return (
-        a.join(b, on="list_id")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= F.lit(float(threshold)))
         # a multi-probe pair can share several lists — keep one row
-        .groupBy("a", "b")
+        pairs.groupBy("a", "b")
         .agg(F.min("list_id").alias("list_id"), F.min("sim").alias("sim"))
         .select("list_id", "a", "b", "sim")
     )
@@ -483,6 +616,7 @@ def semantic_keep_one(
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """Survivor ids after semantic dedup: connected components over the
     within-cluster pairs, keep the min-id representative of each — the
@@ -491,7 +625,7 @@ def semantic_keep_one(
     from ocr_spark.operators.dedup import dedup_clusters
 
     pairs = semantic_dup_pairs(
-        embeddings, threshold, n_lists, nprobe, refine_iters, id_col, vec_col
+        embeddings, threshold, n_lists, nprobe, refine_iters, id_col, vec_col, assign
     )
     clusters = dedup_clusters(
         pairs.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
@@ -748,6 +882,7 @@ def ivfadc_topk(
     rerank: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF + PQ composed — the production ANN layout (FAISS IVFADC,
     here the ``by_residual=False`` variant: codes quantize the
@@ -766,7 +901,7 @@ def ivfadc_topk(
     unprobed list is unreachable — the same bound ivf_topk carries);
     within probed lists the re-rank recovers PQ's quantization loss.
     Deterministic (md5-seeded coarse centroids AND codebooks)."""
-    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    centroids = ivf_centroids(embeddings, n_lists, id_col, vec_col, assign=assign)
     books = pq_codebooks(
         embeddings, dim, m, n_cents, id_col, vec_col, refine_iters
     )
@@ -774,7 +909,7 @@ def ivfadc_topk(
     corpus = pq_encode(embeddings, books, dim, id_col, vec_col).join(
         embeddings.select(
             F.col(id_col),
-            _nearest_centroid(F.col(vec_col), centroids).alias("list_id"),
+            nearest_id(F.col(vec_col), centroids, assign).alias("list_id"),
         ),
         on=id_col,
     ).select(F.col(id_col).alias("neighbor_id"), "list_id", "codes")

@@ -196,3 +196,76 @@ def test_hard_negatives_and_knn_vote_planted(spark):
     }
     for q in range(5):
         assert votes[q][0] == 0 and votes[q][1] == 5  # all-A neighborhoods
+
+
+# ---------------------------------------------------------------------------
+# scale-safe centroid assignment (VERDICT r03 #3): the Arrow matmul path
+# must agree exactly with the plan-literal expression path, and must keep
+# working at centroid counts the expression form cannot plan.
+# ---------------------------------------------------------------------------
+
+
+def test_assign_matmul_matches_expr(spark, emb):
+    """probe_ids/nearest_id under 'matmul' reproduce the 'expr' ordering
+    contract exactly (descending cosine, ties to lower cid) on real
+    fixture vectors — the equivalence that lets auto mode switch paths
+    without changing results."""
+    cents = similarity.ivf_centroids(emb, 16)
+    e = emb.select(
+        "vec_id",
+        similarity.probe_ids(F.col("embedding"), cents, 4, "expr").alias("p"),
+        similarity.nearest_id(F.col("embedding"), cents, "expr").alias("n"),
+    )
+    m = emb.select(
+        "vec_id",
+        similarity.probe_ids(F.col("embedding"), cents, 4, "matmul").alias("p2"),
+        similarity.nearest_id(F.col("embedding"), cents, "matmul").alias("n2"),
+    )
+    j = e.join(m, on="vec_id")
+    assert j.filter((F.col("p") != F.col("p2")) | (F.col("n") != F.col("n2"))).count() == 0
+
+
+def test_semantic_dup_pairs_matmul_equals_expr(spark, emb):
+    a = similarity.semantic_dup_pairs(emb, 0.3, n_lists=8, nprobe=2, assign="expr")
+    b = similarity.semantic_dup_pairs(emb, 0.3, n_lists=8, nprobe=2, assign="matmul")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0  # the equality is over a non-trivial pair set
+
+
+def test_ivf_topk_at_4096_lists(spark):
+    """The old expression form capped n_lists at a few thousand (plan
+    literals). Auto mode must route n_lists=4096 through the matmul UDF
+    and return a complete, well-formed top-k."""
+    assert similarity._resolve_assign("auto", 4096) == "matmul"
+    assert similarity._resolve_assign("auto", 16) == "expr"
+    n, dim = 5000, 16
+    rows = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.sin(F.col("id") * F.lit(0.7 + 0.13 * d)) + F.lit(0.01) * d).alias(f"x{d}")
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    queries = rows.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(
+        rows, queries, k=3, n_lists=4096, nprobe=32, assign="auto"
+    )
+    per_q = out.groupBy("query_id").count().collect()
+    assert len(per_q) == 5
+    assert all(r["count"] == 3 for r in per_q)
+    ranks = {r["rank"] for r in out.select("rank").distinct().collect()}
+    assert ranks == {1, 2, 3}
+
+
+def test_semantic_block_pairs_equal_join(spark, emb):
+    """The per-cluster BLAS block form (applyInPandas) must reproduce the
+    self-join form exactly — raw pair set (threshold inclusion) and 6dp
+    sims (the oracle hash contract)."""
+    j = similarity.semantic_dup_pairs(emb, 0.3, n_lists=8, nprobe=2, pairs_impl="join")
+    b = similarity.semantic_dup_pairs(emb, 0.3, n_lists=8, nprobe=2, pairs_impl="block")
+    jj = j.select("list_id", "a", "b", F.round("sim", 6).alias("sim"))
+    bb = b.select("list_id", "a", "b", F.round("sim", 6).alias("sim"))
+    assert jj.exceptAll(bb).count() == 0 and bb.exceptAll(jj).count() == 0
+    assert j.count() > 0
