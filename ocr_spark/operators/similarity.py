@@ -761,6 +761,29 @@ def pq_encode(
     return nv.select(F.col(id_col), codes.alias("codes"))
 
 
+# ADC builds one m×n_cents lookup table per query ON THE DRIVER (the
+# tables become broadcast plan data). That is the top-k *serving* shape —
+# bounded by the query batch, never the corpus — but a million-row query
+# table would OOM the driver, so the collect is gated: batches above the
+# cap raise with the remediation spelled out.
+PQ_MAX_QUERY_BATCH = 10_000
+
+
+def _bounded_query_collect(queries: DataFrame, max_query_batch: int, op: str):
+    """Collect the query set with an explicit cap: reads max+1 rows, so
+    an over-cap batch fails fast without materializing itself."""
+    rows = queries.limit(max_query_batch + 1).collect()
+    if len(rows) > max_query_batch:
+        raise ValueError(
+            f"{op}: query batch exceeds max_query_batch={max_query_batch}. "
+            "Per-query ADC lookup tables are driver-built by design (the "
+            "serving shape); for bulk query sets chunk the batch, raise "
+            "max_query_batch knowingly, or use ivf_topk/lsh_topk whose "
+            "query side stays distributed."
+        )
+    return rows
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -772,6 +795,7 @@ def pq_topk(
     rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_batch: int = PQ_MAX_QUERY_BATCH,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes: each
     query precomputes an m×n_cents lookup table of exact
@@ -797,10 +821,12 @@ def pq_topk(
     codes = pq_encode(embeddings, books, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-    qrows = (
-        _normalized_vec(queries.select(id_col, vec_col), vec_col)
-        .select(id_col, "_nv")
-        .collect()
+    qrows = _bounded_query_collect(
+        _normalized_vec(queries.select(id_col, vec_col), vec_col).select(
+            id_col, "_nv"
+        ),
+        max_query_batch,
+        "pq_topk",
     )
     lt_rows = []
     for r in qrows:
@@ -883,6 +909,7 @@ def ivfadc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "auto",
+    max_query_batch: int = PQ_MAX_QUERY_BATCH,
 ) -> DataFrame:
     """IVF + PQ composed — the production ANN layout (FAISS IVFADC,
     here the ``by_residual=False`` variant: codes quantize the
@@ -914,10 +941,12 @@ def ivfadc_topk(
         on=id_col,
     ).select(F.col(id_col).alias("neighbor_id"), "list_id", "codes")
 
-    qrows = (
-        _normalized_vec(queries.select(id_col, vec_col), vec_col)
-        .select(id_col, "_nv")
-        .collect()
+    qrows = _bounded_query_collect(
+        _normalized_vec(queries.select(id_col, vec_col), vec_col).select(
+            id_col, "_nv"
+        ),
+        max_query_batch,
+        "ivfadc_topk",
     )
     # per-query: ADC lookup table + its nprobe nearest coarse lists,
     # both driver-computed (queries are a small broadcast set)

@@ -269,3 +269,19 @@ def test_semantic_block_pairs_equal_join(spark, emb):
     bb = b.select("list_id", "a", "b", F.round("sim", 6).alias("sim"))
     assert jj.exceptAll(bb).count() == 0 and bb.exceptAll(jj).count() == 0
     assert j.count() > 0
+
+
+def test_pq_query_batch_cap_raises(spark, emb):
+    """pq_topk/ivfadc_topk build per-query ADC tables driver-side; query
+    batches above max_query_batch must fail fast with a clear error, not
+    OOM the driver (ADVICE r03)."""
+    big = emb  # any batch larger than the tiny cap
+    with pytest.raises(ValueError, match="max_query_batch"):
+        similarity.pq_topk(emb, big, dim=64, k=5, m=16, max_query_batch=3)
+    with pytest.raises(ValueError, match="max_query_batch"):
+        similarity.ivfadc_topk(emb, big, dim=64, k=5, max_query_batch=3)
+    # at the cap boundary it still works
+    out = similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 3), dim=64, k=5, m=16, max_query_batch=3
+    )
+    assert out.groupBy("query_id").count().count() == 3
