@@ -1883,6 +1883,21 @@ def q_ml_training_data(spark, sf_dir):
     return _pipeline_frames(spark, with_raw_text=True).ml_data
 
 
+SQL_INVOICE_GOALS = (
+    f"SELECT * FROM '{_FIXTURES_DIR}/invoice_goals_golden.parquet'"
+)
+
+
+def q_invoice_goals(spark, sf_dir):
+    """InvoiceGoal DTO rows (invoice_service.py:364-389): one goal per
+    invoice whose TTC is truthy (the reference's ``if amount:`` gate —
+    a 0.00 lattice default creates NO goal), amount = including_taxes.
+    The last flagship output to get a golden-pinned row (VERDICT r03
+    missing #3); derived from the same shared FIELDS pass as the other
+    three flagship tables."""
+    return _pipeline_frames(spark).invoice_goals
+
+
 _OCR_WORDS_GOLDEN = f"{_FIXTURES_DIR}/ocr_words_golden.parquet"
 SQL_OCR_WORDS = f"SELECT * FROM '{_OCR_WORDS_GOLDEN}'"
 
@@ -3812,6 +3827,7 @@ CATALOG: dict[str, tuple] = {
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
     "extraction_spans": (q_extraction_spans, SQL_EXTRACTION_SPANS),
     "ml_training_data": (q_ml_training_data, SQL_ML_TRAINING_DATA),
+    "invoice_goals": (q_invoice_goals, SQL_INVOICE_GOALS),
     "ocr_words": (q_ocr_words, SQL_OCR_WORDS),
     "ocr_word_confidence": (q_ocr_word_confidence, SQL_OCR_WORD_CONFIDENCE),
     # -- ANN / embedding family

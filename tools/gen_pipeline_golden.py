@@ -29,6 +29,7 @@ def main() -> None:
     from ocr_spark.queries import (
         q_extraction_pipeline,
         q_extraction_spans,
+        q_invoice_goals,
         q_ml_training_data,
         q_ocr_words,
     )
@@ -40,6 +41,7 @@ def main() -> None:
             ("extraction_pipeline", q_extraction_pipeline, ["invoice_id"]),
             ("extraction_spans", q_extraction_spans, ["doc_id"]),
             ("ml_training_data", q_ml_training_data, ["ml_id"]),
+            ("invoice_goals", q_invoice_goals, ["goal_id"]),
             ("ocr_words", q_ocr_words, ["doc_id", "media_ref", "offset", "page_no", "word_no"]),
         ]:
             out = fn(spark, sf_dir="unused")
