@@ -3,6 +3,7 @@ whole input, across micro-batch boundaries."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.temporal import asof_join
@@ -112,3 +113,74 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_asof_equals_batch(spark, tmp_path):
+    """TRUE stream-stream as-of (latest-before): purchases stream joined
+    to the latest signup-version row at-or-before each purchase, both
+    sides file streams split across micro-batches; the drained result
+    must equal the batch asof_join. A far-future sentinel row (written
+    with a later mtime so it lands in the final micro-batch) advances
+    the watermark past every real event, which both exercises the
+    event-time-timeout flush path and makes every real left row final."""
+    import time
+
+    from ocr_spark.streaming.temporal import asof_join_stream
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("dim_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), "ts"
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    range_sec = int((bounds.hi - bounds.lo).total_seconds()) + 60
+    delay = f"{range_sec} seconds"  # nothing is late until the sentinel
+
+    lsrc, rsrc = str(tmp_path / "buys"), str(tmp_path / "dim")
+    purchases.withColumn("_b", F.col("buy_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.mode("overwrite").parquet(lsrc)
+    dim.withColumn("_b", F.col("dim_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.mode("overwrite").parquet(rsrc)
+    time.sleep(1.2)  # sentinel file must sort after the data files (mtime)
+    sentinel_ts = bounds.hi + pd.Timedelta(seconds=2 * range_sec + 120)
+    spark.createDataFrame(
+        [(-1, -1, sentinel_ts)], "user_id long, buy_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+
+    ls = spark.readStream.schema("user_id long, buy_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(lsrc)
+    rs = spark.readStream.schema("user_id long, ts timestamp, dim_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(rsrc)
+    joined = asof_join_stream(
+        ls, rs, on="user_id", right_cols=["dim_id"], watermark=delay
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssasof")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+    got = {
+        (r["user_id"], r["buy_id"], r["matched_ts"], r["dim_id"])
+        for r in spark.sql("select * from ssasof where user_id >= 0").collect()
+    }
+    want = {
+        (r["user_id"], r["buy_id"], r["matched_ts"], r["dim_id"])
+        for r in asof_join(
+            purchases, dim, on="user_id", right_cols=["dim_id"]
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # matched rows exist AND unmatched lefts survive with nulls (left-outer)
+    assert any(m is not None for (_, _, m, _) in got)
