@@ -143,6 +143,84 @@ def run_flagship(spark, n_docs: int, repeat: int = 1) -> dict:
     return {"sec": round(best, 3), "n_docs": n_docs, "docs_per_sec": round(n_docs / best, 2)}
 
 
+def run_table_lifecycle(spark, sf_dir: str) -> dict:
+    """Timed write → delete_keys → upsert → compact → CDC lifecycle over
+    the documents table (the manifest sink's full Iceberg-analogue story:
+    VERDICT r03 item 7 — the table-format layer's measured cost, not just
+    its correctness).  Stateful by construction, so each step runs ONCE
+    on a fresh table dir (no best-of); the start/end host canaries
+    bracket it like everything else."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources.manifests import (
+        changes_between,
+        checkpointed_write,
+        compact,
+        delete_keys,
+        read_committed,
+        upsert_write,
+    )
+
+    out = str(REPO / ".bench" / "lifecycle_tbl")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_rows = docs.count()  # outside the timed region
+    t: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    checkpointed_write(
+        spark, docs, out, n_buckets=32, input_snapshot="lifecycle-s1",
+        stats_cols=["n_chars"], bloom_key=True,
+    )
+    t["write_sec"] = round(time.monotonic() - t0, 3)
+    t1_wall = time.time()
+
+    # GDPR-shaped equality delete: ~1% of keys, merge-on-read
+    del_keys = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    t0 = time.monotonic()
+    delete_keys(spark, out, del_keys)
+    t["delete_sec"] = round(time.monotonic() - t0, 3)
+
+    # MERGE: ~10% of rows re-delivered with a correction
+    upd = docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+        "source", F.lit("corrected")
+    )
+    t0 = time.monotonic()
+    upsert_write(
+        spark, upd, out, n_buckets=32, input_snapshot="lifecycle-s2",
+        stats_cols=["n_chars"], bloom_key=True,
+    )
+    t["upsert_sec"] = round(time.monotonic() - t0, 3)
+    t2_wall = time.time()
+
+    t0 = time.monotonic()
+    compact(spark, out, stats_cols=["n_chars"])
+    t["compact_sec"] = round(time.monotonic() - t0, 3)
+
+    # CDC over the delete+upsert window; compaction epochs are rewrites,
+    # not changes, so running it AFTER compact also proves the exclusion
+    t0 = time.monotonic()
+    cdc = changes_between(spark, out, t1_wall, t2_wall)
+    ops = {r["_op"]: r["n"] for r in cdc.groupBy("_op").agg(F.count("*").alias("n")).collect()}
+    t["cdc_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    live = read_committed(spark, out).count()
+    t["read_sec"] = round(time.monotonic() - t0, 3)
+
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        **t,
+        "total_sec": round(sum(t.values()), 3),
+        "rows": n_rows,
+        "cdc_inserts": int(ops.get("I", 0)),
+        "cdc_deletes": int(ops.get("D", 0)),
+        "live_rows_after": int(live),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--flagship-only", action="store_true")
@@ -229,6 +307,10 @@ def main() -> None:
                     best = min(best, time.monotonic() - t0)
                     spark.catalog.clearCache()
                 extra[name] = round(best, 3)
+        lifecycle: dict = {}
+        if not args.flagship_only:
+            lifecycle = run_table_lifecycle(spark, args.sf_dir)
+
         # end-of-run canary: the start canaries can't see a host window
         # that turns DURING the run (observed: healthy 0.62 s start canary,
         # then every query 2-4x slow, then healthy again minutes later).
@@ -253,6 +335,7 @@ def main() -> None:
                     # r02+: the flagship writes BOTH tables from one kernel
                     # pass (r01 measured the spans output only)
                     "extraction_outputs": "extracted_spans+invoices",
+                    "table_lifecycle": lifecycle,
                     "host_canary_sec": host_canary_sec,
                     "py_canary_sec": py_canary_sec,
                     "io_canary_sec": io_canary_sec,
