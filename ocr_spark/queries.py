@@ -3360,6 +3360,78 @@ GROUP BY 1
 """
 
 
+_CLUSTER_SINK_CACHE: dict[str, str] = {}
+_CLUSTER_MAXKEY = 4000
+_CLUSTER_LO, _CLUSTER_HI = "1996-03-01 00:00:00", "1996-05-31 00:00:00"
+
+
+def _clustered_orders_sink(spark, sf_dir) -> str:
+    """orders slice landed as two KEY-interleaved deliveries — each epoch
+    spans the full date domain, the shape where epoch-level zone maps
+    cannot prune range predicates at all — then rewritten by
+    compact(cluster_by=o_orderdate): date-sorted within buckets, rolled
+    into small files, per-file min/max in the filestats sidecar. Own
+    sink (the shared zonemap sink must stay unmutated)."""
+    out = _CLUSTER_SINK_CACHE.get(sf_dir)
+    if out is not None:
+        return out
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ocr_spark_cluster_")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= _CLUSTER_MAXKEY)
+    for snap, rem in (("even", 0), ("odd", 1)):
+        manifests.checkpointed_write(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == rem),
+            out,
+            n_buckets=8,
+            input_snapshot=snap,
+            key_col="o_orderkey",
+            stats_cols=["o_orderdate"],
+        )
+    manifests.compact(
+        spark, out, key_col="o_orderkey", cluster_by="o_orderdate", max_file_rows=64
+    )
+    _CLUSTER_SINK_CACHE[sf_dir] = out
+    return out
+
+
+def q_clustered_scan(spark, sf_dir):
+    """Range scan over the sort-clustered rewrite: prune_plan drops
+    individual FILES inside every kept bucket via the per-file zone maps
+    (file-granular pruning asserted in tests/test_pruning.py) — the
+    Iceberg rewrite-with-sort-order story. The oracle is the same
+    slice-agg over the raw table: a hash match proves the clustered
+    rewrite round-trips every surviving row."""
+    out = _clustered_orders_sink(spark, sf_dir)
+    pruned = manifests.pruned_read(
+        spark, out, [("o_orderdate", "between", (_CLUSTER_LO, _CLUSTER_HI))]
+    )
+    return (
+        pruned.filter(
+            F.col("o_orderdate").between(
+                F.to_timestamp(F.lit(_CLUSTER_LO)), F.to_timestamp(F.lit(_CLUSTER_HI))
+            )
+        )
+        .groupBy(F.month("o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money2(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+SQL_CLUSTERED_SCAN = f"""
+SELECT CAST(month(o_orderdate) AS INT) AS order_month,
+       count(*) AS n_orders,
+       {_SQL_MONEY2.format(x="sum(o_totalprice)")} AS revenue
+FROM orders
+WHERE o_orderkey <= {_CLUSTER_MAXKEY}
+  AND o_orderdate BETWEEN TIMESTAMP '{_CLUSTER_LO}' AND TIMESTAMP '{_CLUSTER_HI}'
+GROUP BY 1
+"""
+
+
 _DELETE_SINK_CACHE: dict[str, str] = {}
 _DELETE_MAXKEY = 2000  # bounded slice of orders for the delete-sink row
 
@@ -3938,4 +4010,5 @@ CATALOG: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
     "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "clustered_scan": (q_clustered_scan, SQL_CLUSTERED_SCAN),
 }

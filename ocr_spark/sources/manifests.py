@@ -41,6 +41,42 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "manifests")
 
 
+def _filestats_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "filestats")
+
+
+def _rel_data_path(out_dir: str, file_uri: str) -> str:
+    """input_file_name() URI → path relative to the data dir (the
+    sidecar's key space, stable under table relocation)."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(file_uri).path) or file_uri
+    return os.path.relpath(p, os.path.abspath(_data_dir(out_dir)))
+
+
+def _write_filestats(out_dir: str, epoch: str, files: dict[str, str]) -> None:
+    """Atomically (tmp + rename) persist the per-file zone maps of one
+    compacted epoch: {relative_file_path: col_stats_json}. Metadata-sized
+    (one entry per written file) and advisory — readers that find no
+    sidecar fall back to directory-level pruning."""
+    d = _filestats_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"epoch={epoch}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch, "files": files}, f)
+    os.replace(tmp, path)
+
+
+def _load_filestats(out_dir: str, epoch: str) -> dict[str, str] | None:
+    path = os.path.join(_filestats_dir(out_dir), f"epoch={epoch}.json")
+    try:
+        with open(path) as f:
+            return json.load(f)["files"]
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        return None
+
+
 def _compactions_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "compactions")
 
@@ -490,6 +526,7 @@ def compact(
     max_file_rows: int | None = None,
     stats_cols: list[str] | None = None,
     target_file_bytes: int | None = None,
+    cluster_by: str | list[str] | None = None,
 ) -> dict:
     """Rewrite ALL committed data as a single fresh epoch — one file per
     bucket — and atomically supersede the old epochs: the Iceberg
@@ -540,6 +577,22 @@ def compact(
     (safe only after the commit record is durable — the default leaves
     them for a later sweep, mirroring Iceberg's separate expire step).
     Chained compactions supersede earlier compaction epochs the same way.
+
+    ``cluster_by`` (a column or list) is the rewrite-with-sort-order
+    analogue (Iceberg ``rewrite_data_files`` + sort order): rows are
+    sorted by the cluster column(s) WITHIN each bucket before writing,
+    so with ``max_file_rows``/``target_file_bytes`` each rolled file
+    covers a contiguous, near-disjoint range of the cluster column —
+    and per-FILE min/max zone maps are recorded in a metadata sidecar
+    (``filestats/epoch=<id>.json``). :func:`prune_plan` then prunes at
+    file granularity inside kept buckets. This matters because the
+    bucket dimension is a hash of the KEY: every bucket's min/max on a
+    range column (timestamp, length, score) spans the whole domain, so
+    epoch-level zone maps cannot prune range predicates at all —
+    clustering is what turns them selective. The sidecar is advisory:
+    a missing/partial one degrades to directory-level pruning, never
+    to wrong rows. Cluster columns are added to the per-file stats
+    even when absent from ``stats_cols``.
     """
     import glob as _glob
     import shutil
@@ -581,7 +634,18 @@ def compact(
         .withColumn("epoch", F.lit(new_epoch))
     )
     # one task per bucket → one file per bucket (the small-file point)
-    writer = data.repartition(n_buckets, "bucket").write
+    cluster_cols = (
+        [cluster_by] if isinstance(cluster_by, str) else list(cluster_by or [])
+    )
+    shaped = data.repartition(n_buckets, "bucket")
+    if cluster_cols:
+        # sort includes the partition columns FIRST so the write path's
+        # required ordering (bucket, epoch) is already satisfied and the
+        # writer inserts no sort of its own — Spark's sort is not stable,
+        # so a writer-side re-sort on (bucket, epoch) alone would undo
+        # the clustering
+        shaped = shaped.sortWithinPartitions("bucket", "epoch", *cluster_cols)
+    writer = shaped.write
     if max_file_rows:
         writer = writer.option("maxRecordsPerFile", max_file_rows)
     writer.partitionBy("bucket", "epoch").mode("append").parquet(_data_dir(out_dir))
@@ -630,6 +694,28 @@ def compact(
         )
     else:
         record = record.withColumn("key_bloom", F.lit(None).cast("string"))
+    # per-file zone maps for the clustered rewrite — written BEFORE the
+    # commit record so a visible clustered epoch always has its sidecar
+    # (crash in between leaves sidecar + data as orphans together)
+    if cluster_cols:
+        file_cols = [
+            c
+            for c in dict.fromkeys([*cluster_cols, *(stats_cols or [])])
+            if c in written.columns
+        ]
+        if file_cols:
+            fs_rows = (
+                written.withColumn("_f", F.input_file_name())
+                .groupBy("_f")
+                .agg(*_stats_aggs(file_cols))
+                .select("_f", _stats_json(file_cols).alias("_js"))
+                .collect()  # metadata-sized: one row per written file
+            )
+            _write_filestats(
+                out_dir,
+                new_epoch,
+                {_rel_data_path(out_dir, r["_f"]): r["_js"] for r in fs_rows},
+            )
     # single-file append = the atomic commit point
     record.coalesce(1).write.mode("append").parquet(_compactions_dir(out_dir))
 
@@ -826,6 +912,12 @@ def expire(spark: SparkSession, out_dir: str, older_than: float) -> dict:
             ):
                 shutil.rmtree(d, ignore_errors=True)
                 removed_data += 1
+            # the expired epoch's per-file zone-map sidecar (if it was a
+            # clustered compaction later superseded) goes with it
+            try:
+                os.remove(os.path.join(_filestats_dir(out_dir), f"epoch={e}.json"))
+            except FileNotFoundError:
+                pass
 
     removed_tomb = 0
     try:
@@ -1277,10 +1369,38 @@ def prune_plan(
             r["col_stats"], predicates
         )
     kept = sorted(k for k, keep in groups.items() if keep)
-    paths = [
-        os.path.join(_data_dir(out_dir), f"bucket={b}", f"epoch={e}") for b, e in kept
-    ]
-    return {"paths": paths, "kept_groups": len(kept), "total_groups": len(groups)}
+    # file-level refinement: a clustered compaction (compact(cluster_by=…))
+    # leaves a filestats sidecar whose per-file min/max are near-disjoint
+    # on the cluster column — prune individual FILES inside kept buckets.
+    # Missing sidecar (plain epochs, pre-cluster tables, torn write) →
+    # whole-directory path, same superset guarantee.
+    data_dir = _data_dir(out_dir)
+    fs_cache: dict[str, dict[str, str] | None] = {}
+    paths: list[str] = []
+    kept_files = total_files = 0
+    for b, e in kept:
+        if e not in fs_cache:
+            fs_cache[e] = _load_filestats(out_dir, e)
+        fs = fs_cache[e]
+        prefix = f"bucket={b}/epoch={e}/"
+        bucket_files = (
+            {rel: js for rel, js in fs.items() if rel.startswith(prefix)} if fs else {}
+        )
+        if not bucket_files:
+            paths.append(os.path.join(data_dir, f"bucket={b}", f"epoch={e}"))
+            continue
+        total_files += len(bucket_files)
+        for rel in sorted(bucket_files):
+            if _row_may_match(bucket_files[rel], predicates):
+                kept_files += 1
+                paths.append(os.path.join(data_dir, rel))
+    return {
+        "paths": paths,
+        "kept_groups": len(kept),
+        "total_groups": len(groups),
+        "kept_files": kept_files,
+        "total_files": total_files,
+    }
 
 
 def pruned_read(

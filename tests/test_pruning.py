@@ -204,6 +204,89 @@ def test_lookup_read_points(spark, tmp_path):
     assert mf.lookup_read(spark, out2, [999]).count() == 0
 
 
+def _interleaved_deliveries(spark, out, n=1000, n_buckets=4):
+    """Two deliveries whose tracked column v BOTH span the full domain
+    (evens / odds) — epoch-level zone maps are powerless against range
+    predicates here, the shape hash-bucketed tables always have."""
+    base = spark.range(0, n // 2)
+    for snap, off in (("s1", 0), ("s2", 1)):
+        d = base.select(
+            F.format_string("d%05d", F.col("id") * 2 + off).alias("doc_id"),
+            (F.col("id") * 2 + off).alias("v"),
+            F.lit("payload").alias("text"),
+        )
+        mf.checkpointed_write(
+            spark, d, out, n_buckets=n_buckets, input_snapshot=snap,
+            stats_cols=["v"], bloom_key=True,
+        )
+
+
+def test_clustered_compaction_prunes_files(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _interleaved_deliveries(spark, out)
+    pred = [("v", "between", (100, 140))]
+
+    # before clustering: every (bucket, epoch) group may match
+    plan0 = mf.prune_plan(spark, out, pred)
+    assert plan0["kept_groups"] == plan0["total_groups"] == 8
+    assert plan0["total_files"] == 0  # no sidecar anywhere
+
+    res = mf.compact(
+        spark, out, key_col="doc_id", cluster_by="v", max_file_rows=50,
+        stats_cols=["v"],
+    )
+    assert res["epochs_compacted"] == 2
+
+    plan = mf.prune_plan(spark, out, pred)
+    # 4 buckets x ~5 rolled files each, near-disjoint v ranges: a 41-unit
+    # window keeps at most ~2 files per bucket
+    assert plan["total_files"] >= 12
+    assert 0 < plan["kept_files"] <= plan["total_files"] // 2
+    assert len(plan["paths"]) == plan["kept_files"]
+
+    got = mf.pruned_read(spark, out, pred).filter(F.col("v").between(100, 140))
+    want = mf.read_committed(spark, out).filter(F.col("v").between(100, 140))
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 41
+
+    # point lookups still work on the clustered rewrite (blooms rebuilt)
+    rows = {r["doc_id"]: r["v"] for r in mf.lookup_read(spark, out, ["d00007"]).collect()}
+    assert rows == {"d00007": 7}
+
+
+def test_clustered_prune_can_drop_every_file_in_a_kept_bucket(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _interleaved_deliveries(spark, out)
+    mf.compact(spark, out, cluster_by="v", max_file_rows=50, stats_cols=["v"])
+    # '=' on one value: file-level stats keep ~1 file per bucket at most;
+    # correctness is unchanged
+    plan = mf.prune_plan(spark, out, [("v", "=", 250)])
+    assert plan["kept_files"] <= 4 <= plan["total_files"]
+    got = mf.pruned_read(spark, out, [("v", "=", 250)]).filter(F.col("v") == 250)
+    assert len(_rows(got)) == 1
+    # out-of-domain '=': zero files, empty read, schema intact
+    plan = mf.prune_plan(spark, out, [("v", "=", 10_000)])
+    assert plan["kept_files"] == 0
+    empty = mf.pruned_read(spark, out, [("v", "=", 10_000)])
+    assert empty.count() == 0 and "doc_id" in empty.columns
+
+
+def test_missing_sidecar_degrades_to_directory_pruning(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "t")
+    _interleaved_deliveries(spark, out)
+    res = mf.compact(spark, out, cluster_by="v", max_file_rows=50, stats_cols=["v"])
+    os.remove(os.path.join(out, "filestats", f"epoch={res['new_epoch']}.json"))
+    plan = mf.prune_plan(spark, out, [("v", "between", (100, 140))])
+    assert plan["total_files"] == 0  # sidecar gone → dir-level only
+    assert plan["kept_groups"] == 4
+    got = mf.pruned_read(spark, out, [("v", "between", (100, 140))]).filter(
+        F.col("v").between(100, 140)
+    )
+    assert len(_rows(got)) == 41
+
+
 def test_meta_spec_drift_raises(spark, tmp_path):
     out = str(tmp_path / "t")
     _write_two_deliveries(spark, out, stats_cols=None)
