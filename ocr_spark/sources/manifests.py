@@ -1528,3 +1528,168 @@ def lookup_read(
     out = out.filter(F.col(key_col).isin(list(keys)))
     out = _minus_deletes(spark, out_dir, out)
     return out.drop("bucket", "epoch", "input_snapshot")
+
+
+# --------------------------------------------------------------------------
+# table maintenance: tags, metadata-only counts, orphan-file removal
+# (the Iceberg refs / stats-scan / remove_orphan_files analogues)
+# --------------------------------------------------------------------------
+
+_TAG_NAME_RE = None  # compiled lazily
+
+
+def _tags_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "tags")
+
+
+def _tag_path(out_dir: str, name: str) -> str:
+    import re
+
+    global _TAG_NAME_RE
+    if _TAG_NAME_RE is None:
+        _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+    if not _TAG_NAME_RE.match(name):
+        raise ValueError(f"invalid tag name {name!r} (use [A-Za-z0-9._-]+)")
+    return os.path.join(_tags_dir(out_dir), f"{name}.json")
+
+
+def create_tag(
+    out_dir: str, name: str, as_of: float | None = None, replace: bool = False
+) -> dict:
+    """Pin a named snapshot (Iceberg tag): readers resolve the tag to its
+    captured instant, so `read_tag(..., "training-2024-01")` keeps
+    returning the same rows no matter how many deliveries, upserts, or
+    compactions land afterwards — the reproducible-training-corpus
+    handle. ``as_of`` defaults to now. Atomic single-file commit, same
+    protocol as every other metadata write here; retention caveat as on
+    :func:`read_as_of` (expire/vacuum eventually strips the history a
+    tag points into — keep retention >= the oldest live tag)."""
+    rec = {"name": name, "as_of": float(as_of if as_of is not None else time.time()),
+           "created_at": time.time()}
+    path = _tag_path(out_dir, name)
+    if os.path.exists(path) and not replace:
+        raise FileExistsError(f"tag {name!r} already exists (replace=True to move it)")
+    os.makedirs(_tags_dir(out_dir), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)
+    return rec
+
+
+def list_tags(out_dir: str) -> list[dict]:
+    d = _tags_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def drop_tag(out_dir: str, name: str) -> bool:
+    try:
+        os.remove(_tag_path(out_dir, name))
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def read_tag(
+    spark: SparkSession, out_dir: str, name: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read the table as of the named tag (see :func:`create_tag`)."""
+    try:
+        with open(_tag_path(out_dir, name)) as f:
+            rec = json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no tag {name!r} under {out_dir}") from None
+    return read_as_of(spark, out_dir, rec["as_of"], merge_schema=merge_schema)
+
+
+def fast_count(
+    spark: SparkSession, out_dir: str, input_snapshot: str | None = None
+) -> dict:
+    """COUNT(*) from manifest metadata when that is provably exact —
+    the Iceberg stats-scan: the manifests already carry per-(bucket,
+    delivery) row counts, so the common no-deletes case costs a
+    metadata read instead of a table scan (at 100 TB: milliseconds vs
+    a full-corpus job). Exactness rule: metadata counts are the live
+    rows iff every live tombstone is INERT, i.e. every live data
+    epoch's commit postdates every non-expired tombstone (true for
+    fresh tables, append-only tables, and any table after compaction —
+    compact rewrites data with a fresh stamp). Otherwise falls back to
+    counting :func:`read_committed`. Returns {"count", "source"} with
+    source in {"manifests", "scan"}."""
+    m = active_manifests(spark, out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifests under {out_dir}")
+    if input_snapshot is not None:
+        m = m.filter(F.col("input_snapshot") == input_snapshot)
+
+    tomb_max = None
+    try:
+        dm = spark.read.parquet(_delete_manifest_dir(out_dir))
+        expired = _expired_delete_epochs(spark, out_dir)
+        if expired:
+            dm = dm.filter(~F.col("epoch").isin(list(expired)))
+        row = dm.agg(F.max("committed_at")).collect()[0]
+        tomb_max = row[0]
+    except AnalysisException as e:
+        if not _is_path_missing(e):
+            raise
+    if tomb_max is not None:
+        ct = F.col("committed_at") if "committed_at" in m.columns else F.lit(None)
+        live_min = m.agg(F.min(ct.cast("double"))).collect()[0][0]
+        if live_min is None or live_min <= tomb_max:
+            # a live tombstone may suppress rows -> metadata can't know
+            df = read_committed(spark, out_dir, input_snapshot=input_snapshot)
+            return {"count": df.count(), "source": "scan"}
+    n = m.agg(F.sum("row_count")).collect()[0][0] or 0
+    return {"count": int(n), "source": "manifests"}
+
+
+def remove_orphans(
+    spark: SparkSession,
+    out_dir: str,
+    grace_seconds: float = 86400.0,
+    dry_run: bool = False,
+) -> dict:
+    """Remove data-epoch directories no metadata references (Iceberg
+    ``remove_orphan_files``): a writer that crashed between the data
+    append and the manifest/compaction commit leaves its epoch on disk
+    forever — invisible to every reader, but billed storage. An epoch is
+    an orphan iff it appears in NO manifest row and NO compaction record
+    (superseded epochs are NOT orphans — they serve time travel and are
+    expire's job). ``grace_seconds`` keeps young directories: a racing
+    in-flight writer's epoch exists on disk before its commit lands, and
+    deleting it would turn a live write into a torn one."""
+    import glob as _glob
+    import shutil
+
+    referenced: set[str] = set()
+    m = read_manifests(spark, out_dir)
+    if m is not None:
+        referenced |= {r["job_epoch"] for r in m.select("job_epoch").distinct().collect()}
+    c = read_compactions(spark, out_dir)
+    if c is not None:
+        referenced |= {r["job_epoch"] for r in c.select("job_epoch").distinct().collect()}
+        referenced |= {
+            r["e"]
+            for r in c.select(F.explode("superseded").alias("e")).distinct().collect()
+        }
+
+    now = time.time()
+    orphans: list[str] = []
+    for d in _glob.glob(os.path.join(_data_dir(out_dir), "bucket=*", "epoch=*")):
+        epoch = os.path.basename(d).split("=", 1)[1]
+        if epoch in referenced:
+            continue
+        if now - os.path.getmtime(d) < grace_seconds:
+            continue
+        orphans.append(d)
+        if not dry_run:
+            shutil.rmtree(d, ignore_errors=True)
+    return {"removed": 0 if dry_run else len(orphans), "orphans": sorted(orphans)}
