@@ -86,6 +86,10 @@ EXTRA = [
     "quality_checks",
     "hard_negatives",
     "knn_label_vote",
+    # round-4: clustered table scans, bigram LM, hashed embeddings
+    "clustered_scan",
+    "bigram_score",
+    "hashed_tfidf",
 ]
 
 

@@ -6,7 +6,8 @@
         --out /data/curated --snapshot snap-2026-08-17 \
         [--quality-min 0.4] [--threshold 0.5] [--max-bucket 100] \
         [--ngram 8] [--buckets 4096] [--substring-dedup-n 50] \
-        [--cap-per-source 100000] [--dsir-target <dir> --dsir-n 10000]
+        [--cap-per-source 100000] [--dsir-target <dir> --dsir-n 10000] \
+        [--split train=0.9,val=0.05,test=0.05]
 
 Runs the composed curation chain — quality gate → exact dedup → MinHash-
 LSH near-dup keep-one → benchmark decontamination — over a documents
@@ -71,6 +72,14 @@ def main() -> None:
         "whose unigram distribution importance-resamples toward it",
     )
     ap.add_argument("--dsir-n", type=int, default=10_000)
+    ap.add_argument(
+        "--split",
+        default=None,
+        help="label survivors with a deterministic dataset split, e.g. "
+        "'train=0.9,val=0.05,test=0.05' (fractions sum to 1; assignment "
+        "is a pure function of the doc id, stable across reruns and "
+        "corpus growth)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -119,6 +128,12 @@ def main() -> None:
         survivors = survivors.join(
             picked.select("doc_id"), on="doc_id", how="left_semi"
         )
+    if args.split:
+        fractions = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.split.split(","))
+        }
+        survivors = curation.split_assign(survivors, fractions)
     stats = checkpointed_write(
         spark,
         survivors,

@@ -69,3 +69,52 @@ def referential_integrity(
     return spark.createDataFrame(
         [(n, n_orph, float(ri))], "n_child long, n_orphans long, ri double"
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    keys: str | list[str],
+    top_n: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join-key skew diagnostic: the top-N heaviest keys with their row
+    count, share of the table, skew ratio vs the mean key, and the salt
+    factor that would cap each key's partition at
+    ``target_rows_per_task`` rows.
+
+    At 100 TB this is the cheap pre-flight before any keyed join or
+    groupBy: one partial-aggregated keyed count (map-side combine makes
+    the shuffle carry one row per key per task), a TakeOrdered top-N,
+    and a broadcast one-row scalar attach for the totals (the
+    deliberate crossJoin shape the plan audit whitelists). The
+    ``salt_factor`` column is directly actionable — it is the fan-out
+    to salt the hot keys with (AQE's skew-join split works on the same
+    signal at runtime; this profiles it ahead of time, which is what
+    you want before committing a 1000-executor shuffle). Integer-safe
+    everywhere: salt_factor is ceil(n_rows / target) computed as
+    floor((n + target − 1) / target), so the result is engine-portable.
+
+    Ties in n_rows break on the key columns ascending, so the top-N set
+    is deterministic under any partitioning.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    top = counts.orderBy(F.desc("n_rows"), *key_cols).limit(top_n)
+    fix4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return top.crossJoin(F.broadcast(totals)).select(
+        *key_cols,
+        "n_rows",
+        fix4(F.col("n_rows") / F.col("_total")).alias("share"),
+        fix4(F.col("n_rows") * F.col("_n_keys") / F.col("_total")).alias(
+            "skew_vs_mean"
+        ),
+        F.floor(
+            (F.col("n_rows") + F.lit(target_rows_per_task - 1))
+            / F.lit(float(target_rows_per_task))
+        )
+        .cast("long")
+        .alias("salt_factor"),
+    )

@@ -461,6 +461,44 @@ def stratified_sample(
     return documents.filter(draw < thr)
 
 
+def split_assign(
+    documents: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset splitting (train/val/test): every row gets a
+    ``split`` label from the same salted-md5 hex-prefix draw
+    :func:`stratified_sample` uses, compared against the CUMULATIVE
+    split fractions — so the label is a pure function of (salt, id):
+    reproducible under any partitioning, any engine, any rerun, and
+    stable as the corpus grows (a doc never migrates between splits
+    when new docs arrive, which leakage-free eval demands —
+    ``randomSplit`` re-deals on every change in partitioning).
+
+    ``splits`` maps label → fraction in band order; fractions must sum
+    to 1 (±1e-9). The last split absorbs the float-rounding tail. Pure
+    map-side projection: no shuffle, no RNG state.
+    """
+    names = list(splits)
+    fracs = [float(splits[n]) for n in names]
+    if len(names) < 2:
+        raise ValueError("split_assign needs at least two splits")
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >=0 and sum to 1: {splits}")
+    draw = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    label = None
+    acc = 0.0
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        acc += frac
+        cond = draw < F.lit(_rate_threshold(acc))
+        label = F.when(cond, name) if label is None else label.when(cond, name)
+    label = label.otherwise(names[-1])
+    return documents.withColumn("split", label)
+
+
 def token_budget_sample(
     documents: DataFrame,
     budgets: dict[str, int],

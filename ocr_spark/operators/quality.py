@@ -337,13 +337,27 @@ def unigram_model(
     column on purpose: Spark's map element_at is a linear scan, so a
     50k-entry in-row map would cost O(vocab) per token — the broadcast
     hash join below is the O(1) lookup."""
+    return model_from_token_counts(token_counts(corpus, text_col), vocab_size)
+
+
+def token_counts(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term frequencies ``(tok, cnt)`` under the model's
+    normalization — the raw statistic :func:`unigram_model` heads, and
+    the thing the streaming writer maintains incrementally (counts are
+    additive across deliveries, so batch-per-delivery + sum == one big
+    batch)."""
     toks = (
         dedup._ensure_parallelism(corpus)
         .select(dedup.normalized(F.col(text_col)).alias("_norm"))
         .select(F.explode_outer(F.split(F.col("_norm"), " ")).alias("tok"))
         .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
     )
-    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def model_from_token_counts(tc: DataFrame, vocab_size: int = 50_000) -> DataFrame:
+    """Head + logprob derivation shared by the batch and streaming model
+    builds (see :func:`unigram_model` for the semantics)."""
     total = tc.agg(F.sum("cnt").alias("n_total"))
     return (
         tc.orderBy(F.col("cnt").desc(), F.col("tok").asc())
@@ -565,4 +579,108 @@ def pack_chunks(
         F.greatest(F.col("start") - F.col("seq_id") * budget, F.lit(0))
         .cast("long")
         .alias("seq_off"),
+    )
+
+
+def bigram_pairs(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2): adjacent-token pairs under the model normalization —
+    the bigram events a 2-gram LM counts and scores. The pair array is
+    built with JVM HOFs (slice + transform with the element-index lambda
+    — two params IS (element, index) in pyspark, used deliberately here)
+    and exploded; a doc with < 2 tokens emits nothing."""
+    c = F.split(dedup.normalized(F.col(text_col)), " ")
+    pairs = F.transform(
+        F.slice(c, 1, F.greatest(F.size(c) - 1, F.lit(0))),
+        lambda t, i: F.struct(
+            t.alias("w1"), F.element_at(c, i + F.lit(2)).alias("w2")
+        ),
+    )
+    return (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, pairs.alias("_p"))
+        .select(id_col, F.explode_outer("_p").alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(
+            F.col("w1").isNotNull()
+            & (F.col("w1") != "")
+            & F.col("w2").isNotNull()
+            & (F.col("w2") != "")
+        )
+    )
+
+
+def bigram_model(
+    corpus: DataFrame,
+    bigram_size: int = 200_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid-backoff bigram LM artifact (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — THE web-scale n-gram
+    recipe: no discounting, no normalization, score(w2|w1) =
+    c(w1 w2)/c(w1) when the bigram was seen, else alpha·p(w2)): rows
+    ``(w1, w2, lp)`` for the top-``bigram_size`` bigrams by count
+    (ties → (w1, w2) asc) with lp = ln(c(w1,w2)/c(w1)).
+
+    The denominator is the FULL unigram count of w1 (not a truncated
+    head), so head truncation only drops rare bigrams to the backoff
+    path — it never biases a retained estimate. Build cost is one
+    tokenize pass + two keyed aggs + a TakeOrdered head; like
+    :func:`unigram_model`, the artifact stays broadcastable at any
+    corpus size, which is what makes scoring a pure broadcast-join
+    pipeline."""
+    bc = bigram_pairs(corpus, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    uc = token_counts(corpus, text_col).select(
+        F.col("tok").alias("w1"), F.col("cnt").alias("c1")
+    )
+    return (
+        bc.join(uc, on="w1", how="inner")  # w1 always has a unigram count
+        .orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(bigram_size)  # TakeOrderedAndProject: per-partition heap
+        .select("w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("lp"))
+    )
+
+
+def score_with_bigram_model(
+    documents: DataFrame,
+    bimodel: DataFrame,
+    unimodel: DataFrame,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_pairs, logprob): mean stupid-backoff bigram
+    log-probability under fixed :func:`bigram_model` +
+    :func:`unigram_model` artifacts — pairs explode → broadcast join
+    the bigram head → broadcast join the unigram head on w2 (backoff)
+    → per-doc mean, with ln(alpha) + oov_lp as the final floor. All
+    broadcast hash joins against artifact heads: the corpus never
+    shuffles, so the scorer is a stateless streaming drop-in exactly
+    like the unigram form. Docs with < 2 tokens produce no row."""
+    import math
+
+    oov = F.broadcast(unimodel.select("oov_lp").limit(1))
+    uni = F.broadcast(
+        unimodel.select(F.col("tok").alias("w2"), F.col("lp").alias("_ulp"))
+    )
+    scored = (
+        bigram_pairs(documents, text_col, id_col)
+        .join(F.broadcast(bimodel.withColumnRenamed("lp", "_blp")), ["w1", "w2"], "left")
+        .join(uni, on="w2", how="left")
+        .crossJoin(oov)
+        .withColumn(
+            "_s",
+            F.coalesce(
+                F.col("_blp"),
+                F.lit(math.log(alpha))
+                + F.coalesce(F.col("_ulp"), F.col("oov_lp")),
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("_s") / F.count(F.lit(1))).alias("logprob"),
     )

@@ -24,6 +24,8 @@ uses), so callers pass lowercase terms.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -193,3 +195,92 @@ def rrf_fuse(
         .limit(topn)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def hashed_tfidf(
+    documents: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """(doc_id, bucket, weight): the feature-hashing TF-IDF embedding
+    ("hashing trick", Weinberger et al. 2009) in sparse rows — the
+    model-free way to give every document a fixed-``dim`` vector for
+    the ANN / semantic-dedup family without an external encoder.
+
+    ``bucket`` = first 15 md5 hex chars of the term mod ``dim``
+    (engine-portable like every hash in this repo — the value itself
+    oracles); ``weight`` = Σ over the bucket's terms of tf·idf with the
+    sklearn-smooth idf :func:`tfidf_top_terms` uses, L2-normalized per
+    doc by default so downstream cosine is a plain dot product.
+
+    Shape: one tokenize pass → keyed (doc, term) tf agg → tiny df agg +
+    broadcast N → (doc, bucket) agg → per-doc norm via a window bounded
+    by ≤ dim rows per doc. No vocabulary state, no fit step, no
+    collision table — which is exactly why the trick works at 100 TB:
+    the embedding of a document depends only on the document and the
+    corpus-frequency table, both of which this repo already maintains
+    incrementally.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    pg = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = pg.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("N"))
+    idf = F.log((F.lit(1) + F.col("N")) / (F.lit(1) + F.col("df"))) + F.lit(1.0)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+        % dim
+    )
+    w = (
+        pg.join(df_t, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col, bucket.alias("bucket"))
+        .agg(F.sum(F.col("tf") * idf).alias("weight"))
+    )
+    if not l2_normalize:
+        return w
+    win = Window.partitionBy(id_col)
+    return w.withColumn(
+        "weight",
+        F.col("weight")
+        / F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(win)),
+    )
+
+
+def dense_from_sparse(
+    sparse: DataFrame, dim: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, embedding array<double>): scatter the sparse
+    (bucket, weight) rows of :func:`hashed_tfidf` into dense vectors —
+    the column shape the ANN operators take.
+
+    The scatter is the one step Spark's built-ins can't express (no
+    functional array update), so it is a vectorized Arrow-batched
+    pandas UDF over per-doc collected structs — NEVER an in-row map
+    probed per index (Spark's map element_at is a linear scan: O(dim ×
+    nnz) per row). Each doc's sparse list is bounded by ``dim``, so the
+    collect_list is row-local and the UDF does one numpy scatter per
+    doc."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _scatter(buckets: pd.Series, weights: pd.Series) -> pd.Series:
+        out = []
+        for bs, ws in zip(buckets, weights):
+            v = np.zeros(dim)
+            v[np.asarray(bs, dtype=np.int64)] = np.asarray(ws, dtype=np.float64)
+            out.append(v.tolist())
+        return pd.Series(out)
+
+    packed = sparse.groupBy(id_col).agg(
+        F.collect_list("bucket").alias("_b"), F.collect_list("weight").alias("_w")
+    )
+    return packed.select(id_col, _scatter("_b", "_w").alias("embedding"))

@@ -3879,6 +3879,141 @@ FROM e JOIN b ON e.user_id = b.user_id AND e.s <= b.en AND b.s <= e.en
 """
 
 
+_BIGRAM_HEAD = 300
+_BIGRAM_ALPHA_LN = __import__("math").log(0.4)
+
+
+def q_bigram_score(spark, sf_dir):
+    """Mean stupid-backoff bigram log-prob (Brants et al. 2007) under
+    FIXED artifacts: a 300-bigram head over a full-count denominator,
+    backing off to the 150-token unigram head with ln(0.4) penalty,
+    with ln(0.4)+oov as the final floor. Small heads on purpose — at
+    this SF most pairs take the backoff path, so the oracle exercises
+    every branch of the scoring lattice."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = quality.unigram_model(docs, vocab_size=_UNIGRAM_VOCAB)
+    bi = quality.bigram_model(docs, bigram_size=_BIGRAM_HEAD)
+    out = quality.score_with_bigram_model(docs, bi, uni, alpha=0.4)
+    return out.select("doc_id", "n_pairs", fix6(F.col("logprob")).alias("logprob"))
+
+
+SQL_BIGRAM_SCORE = f"""
+WITH d AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+t2 AS (
+  SELECT doc_id, unnest(w) AS tok FROM d
+),
+t3 AS (SELECT doc_id, tok FROM t2 WHERE tok <> ''),
+tc AS (SELECT tok, count(*) AS cnt FROM t3 GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM tc),
+uhead AS (
+  SELECT tok AS w2, ln(cnt / n_total) AS ulp FROM tc CROSS JOIN total
+  ORDER BY cnt DESC, tok ASC LIMIT {_UNIGRAM_VOCAB}
+),
+oov AS (SELECT ln(0.5 / n_total) AS oov_lp FROM total),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM d, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+  WHERE w[i] <> '' AND w[i + 1] <> ''
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+bhead AS (
+  SELECT w1, w2, ln(c12 / c1) AS blp
+  FROM bc JOIN (SELECT tok AS w1, cnt AS c1 FROM tc) USING (w1)
+  ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT {_BIGRAM_HEAD}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {_SQL_FIX6.format(x=f"sum(coalesce(blp, {_BIGRAM_ALPHA_LN!r} + coalesce(ulp, oov_lp))) / count(*)")} AS logprob
+FROM pairs LEFT JOIN bhead USING (w1, w2) LEFT JOIN uhead USING (w2) CROSS JOIN oov
+GROUP BY doc_id
+"""
+
+
+_HTFIDF_DIM = 256
+
+
+def q_hashed_tfidf(spark, sf_dir):
+    """Feature-hashing TF-IDF embeddings (Weinberger et al. 2009) in
+    sparse (bucket, weight) rows, L2-normalized — the model-free
+    text→vector bridge into the ANN family. The sparse form is what
+    oracles (the dense scatter is plumbing, unit-tested separately)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = search.hashed_tfidf(docs, dim=_HTFIDF_DIM)
+    return out.select("doc_id", "bucket", fix6(F.col("weight")).alias("weight"))
+
+
+SQL_HASHED_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS term FROM documents
+),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+pg AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM pg GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+w AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) % {_HTFIDF_DIM} AS bucket,
+         sum(tf * (ln((1 + N) / (1 + df)) + 1.0)) AS raw
+  FROM pg JOIN dfc USING (term) CROSS JOIN nd
+  GROUP BY 1, 2
+),
+nrm AS (SELECT doc_id, sqrt(sum(raw * raw)) AS l2 FROM w GROUP BY 1)
+SELECT doc_id, bucket, {_SQL_FIX6.format(x="raw / l2")} AS weight
+FROM w JOIN nrm USING (doc_id)
+"""
+
+
+_SPLIT_T1 = curation._rate_threshold(0.8)
+_SPLIT_T2 = curation._rate_threshold(0.9)
+
+
+def q_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (salted-md5 bands —
+    stable under corpus growth, unlike randomSplit), reported as
+    per-(split, lang) counts. A single wrong assignment moves two
+    group counts, so the hash match proves the banding exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_SPLIT_COUNTS = f"""
+SELECT CASE WHEN substr(md5('split:' || doc_id), 1, 8) < '{_SPLIT_T1}' THEN 'train'
+            WHEN substr(md5('split:' || doc_id), 1, 8) < '{_SPLIT_T2}' THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_skew_profile(spark, sf_dir):
+    """Top-20 heaviest join keys on events.user_id with share, skew
+    ratio, and the actionable salt factor (target 50 rows/task at this
+    SF so the factors exercise values > 1). Ties break on the key, so
+    the top-N SET is deterministic."""
+    from ocr_spark.operators import checks
+
+    return checks.skew_profile(
+        _t(spark, sf_dir, "events"), "user_id", top_n=20, target_rows_per_task=50
+    )
+
+
+SQL_SKEW_PROFILE = f"""
+WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS n_keys FROM c)
+SELECT user_id, n_rows,
+       {_SQL_FIX4.format(x="n_rows / total")} AS share,
+       {_SQL_FIX4.format(x="n_rows * n_keys / total")} AS skew_vs_mean,
+       CAST(floor((n_rows + 49) / CAST(50 AS DOUBLE)) AS BIGINT) AS salt_factor
+FROM c, t
+ORDER BY n_rows DESC, user_id
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -4011,4 +4146,8 @@ CATALOG: dict[str, tuple] = {
     "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
     "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "clustered_scan": (q_clustered_scan, SQL_CLUSTERED_SCAN),
+    "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
+    "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
+    "bigram_score": (q_bigram_score, SQL_BIGRAM_SCORE),
+    "hashed_tfidf": (q_hashed_tfidf, SQL_HASHED_TFIDF),
 }

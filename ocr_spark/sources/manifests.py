@@ -516,6 +516,83 @@ def checkpointed_write(
     }
 
 
+def _with_zorder_key(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame:
+    """Append a ``_zkey`` column: the Morton (Z-order) interleaving of the
+    cluster columns' equi-depth bucket ids — the Delta ``OPTIMIZE ZORDER``
+    / Iceberg z-order rewrite analogue, built entirely from JVM-side
+    expressions.
+
+    Lexicographic multi-column clustering only localizes the FIRST
+    column; every later column's per-file min/max spans the whole domain
+    except within ties of the leader, so file-level zone maps cannot
+    prune on it. Z-ordering interleaves the bit patterns of all cluster
+    columns' rank-bucket ids, so a sorted run of ``_zkey`` is a z-curve
+    segment — a compact rectangle-ish region whose min/max are tight on
+    EVERY z column at once (each file spans ~domain/2^(k/ncols) per
+    column instead of the full domain).
+
+    Rank normalization is equi-depth, not equi-width: per column,
+    2^bits−1 quantile boundaries come from one sampled
+    ``approxQuantile`` pass (driver-bounded: ≤63 doubles per column by
+    default — the RangePartitioner-style sampling Delta's z-order uses),
+    and the bucket id is a linear ``when``-chain over those literal
+    boundaries (each branch references the value once — no
+    expression-tree doubling; 64 branches is well inside plan-analysis
+    comfort, unlike the centroid-literal ceiling). Skewed or constant
+    columns degrade gracefully: tied boundaries dedupe to fewer buckets.
+
+    Z columns must be numeric, timestamp, or date (rank order is what
+    the curve preserves; hashing strings would destroy the range
+    locality that makes pruning work) — strings raise.
+    """
+    dtypes = dict(df.dtypes)
+    proxies: list = []
+    for c in cols:
+        dt = dtypes[c]
+        if dt in ("timestamp", "timestamp_ntz"):
+            proxies.append(F.col(c).cast("double"))
+        elif dt == "date":
+            proxies.append(F.col(c).cast("timestamp").cast("double"))
+        elif dt in ("string", "binary", "boolean"):
+            raise ValueError(
+                f"zorder cluster column {c!r} has type {dt}: z-ordering "
+                "needs rank-orderable numeric/timestamp/date columns"
+            )
+        else:
+            proxies.append(F.col(c).cast("double"))
+    probs = [i / float(1 << bits) for i in range(1, 1 << bits)]
+    qdf = df.select(*[p.alias(f"_z{i}") for i, p in enumerate(proxies)])
+    all_bounds = qdf.stat.approxQuantile(
+        [f"_z{i}" for i in range(len(cols))], probs, 0.01
+    )
+    ncols = len(cols)
+    terms = []
+    for j, (p, bounds) in enumerate(zip(proxies, all_bounds)):
+        uniq: list[float] = sorted({b for b in bounds if b is not None})
+        if not uniq:
+            continue  # all-null/unsampleable column: contributes nothing
+        # equi-depth bucket id 0..len(uniq) (≤ 2^bits − 1, so it fits in
+        # `bits` bits); nulls sort first
+        bucket = F.when(p.isNull(), F.lit(0))
+        for i, b in enumerate(uniq):
+            bucket = bucket.when(p < F.lit(float(b)), F.lit(i))
+        bucket = bucket.otherwise(F.lit(len(uniq))).cast("long")
+        for i in range(bits):
+            # bit i of column j lands at interleaved position i*ncols + j;
+            # positions are disjoint so summation == bitwise OR
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * ncols + j
+                )
+            )
+    if not terms:
+        return df.withColumn("_zkey", F.lit(0).cast("long"))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return df.withColumn("_zkey", z)
+
+
 def compact(
     spark: SparkSession,
     out_dir: str,
@@ -527,6 +604,8 @@ def compact(
     stats_cols: list[str] | None = None,
     target_file_bytes: int | None = None,
     cluster_by: str | list[str] | None = None,
+    zorder: bool = False,
+    zorder_bits: int = 6,
 ) -> dict:
     """Rewrite ALL committed data as a single fresh epoch — one file per
     bucket — and atomically supersede the old epochs: the Iceberg
@@ -593,6 +672,16 @@ def compact(
     a missing/partial one degrades to directory-level pruning, never
     to wrong rows. Cluster columns are added to the per-file stats
     even when absent from ``stats_cols``.
+
+    ``zorder=True`` upgrades a multi-column ``cluster_by`` from
+    lexicographic to Z-order (see :func:`_with_zorder_key`): rows sort by
+    the Morton interleaving of the cluster columns' equi-depth bucket
+    ids, so the rolled files' zone maps are tight on EVERY cluster
+    column, not just the first — a range predicate on any of them prunes
+    files. Costs one extra sampled ``approxQuantile`` pass over the
+    compaction input (the same price Delta's OPTIMIZE ZORDER pays);
+    ``zorder_bits`` (default 6 → 64 rank buckets per column) bounds both
+    the sampled boundary count and the per-row bucketing chain.
     """
     import glob as _glob
     import shutil
@@ -644,7 +733,18 @@ def compact(
         # writer inserts no sort of its own — Spark's sort is not stable,
         # so a writer-side re-sort on (bucket, epoch) alone would undo
         # the clustering
-        shaped = shaped.sortWithinPartitions("bucket", "epoch", *cluster_cols)
+        if zorder:
+            shaped = _with_zorder_key(shaped, cluster_cols, zorder_bits)
+            # cluster cols as tie-breakers keep each z-cell's rows
+            # contiguous; _zkey is dropped before the write (a Project
+            # preserves row order, and the writer's required (bucket,
+            # epoch) ordering prefix stays satisfied — verified by the
+            # pruning tests, which fail if the sort were undone)
+            shaped = shaped.sortWithinPartitions(
+                "bucket", "epoch", "_zkey", *cluster_cols
+            ).drop("_zkey")
+        else:
+            shaped = shaped.sortWithinPartitions("bucket", "epoch", *cluster_cols)
     writer = shaped.write
     if max_file_rows:
         writer = writer.option("maxRecordsPerFile", max_file_rows)

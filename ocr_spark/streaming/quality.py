@@ -1,20 +1,81 @@
-"""Streaming quality signals — stateless drop-ins.
+"""Streaming quality signals.
 
-The row-local forms in ocr_spark.operators.quality
+Stateless drop-ins: the row-local forms in ocr_spark.operators.quality
 (:func:`repetition_stats_local`, :func:`dedup_lines_local`) are pure
 column expressions with zero shuffles, so they run UNCHANGED on a
 streaming DataFrame in append mode with no state store and no watermark
 — each micro-batch row is scored/cleaned independently, and the output
 equals the batch operators row-for-row across any micro-batch split
-(tests/test_streaming_quality.py). This module just re-exports them
-under their streaming names so pipeline code reads declaratively; the
-explode-based batch forms must NOT be used on streams (their per-doc
-groupBy is a streaming aggregation that append mode would reject).
+(tests/test_streaming_quality.py). The explode-based batch forms must
+NOT be used on streams (their per-doc groupBy is a streaming
+aggregation that append mode would reject).
+
+Stateful corpus statistics: :func:`token_stats_stream_writer` maintains
+the exact corpus term-frequency table ``(tok, cnt)`` incrementally —
+the one quality statistic the stateless forms CANNOT provide, because
+it aggregates across documents. Counts are additive across deliveries,
+so the writer reuses the sketch-state machinery (idempotent HEAD
+commits keyed on batch id; replayed micro-batches are no-ops) with the
+token as the merge key. :func:`unigram_model_from_state` then derives a
+model artifact EQUAL to the batch :func:`unigram_model` over everything
+committed so far — the index-stats pattern: the stream keeps the
+statistic warm, batch-quality filters consume it without rescanning the
+corpus.
+
+State size is the vocabulary, not the corpus (Heaps' law: sublinear),
+but unlike the CMS it does grow — each merge rewrites the vocab table
+(an O(vocab) LSM-style compaction per batch). At web scale, raise
+``n_files`` so the state stays partitioned, and feed coarser
+micro-batches (or merge every Nth batch) — the merge cost amortizes
+exactly like any log-structured index.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+
 from ocr_spark.operators.quality import (  # noqa: F401
     dedup_lines_local as dedup_lines_stream,
+    model_from_token_counts,
     repetition_stats_local as repetition_stats_stream,
+    token_counts,
 )
+from ocr_spark.streaming.sketch import _merge_batch, read_sketch_state
+
+
+def token_stats_stream_writer(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    state_dir: str = "",
+    n_files: int = 1,
+):
+    """``writeStream`` writer maintaining the exact corpus term
+    frequencies of a document stream. ``read_sketch_state(state_dir)``
+    at any commit point equals batch :func:`token_counts` over every
+    document committed so far (tested across micro-batch boundaries and
+    replays)."""
+    if not state_dir:
+        raise ValueError("token_stats_stream_writer needs a state_dir")
+    return stream_docs.writeStream.foreachBatch(
+        lambda df, bid: _merge_batch(
+            df,
+            bid,
+            state_dir,
+            lambda b: token_counts(b, text_col),
+            ["tok"],
+            n_files=n_files,
+        )
+    )
+
+
+def unigram_model_from_state(
+    spark: SparkSession, state_dir: str, vocab_size: int = 50_000
+) -> DataFrame | None:
+    """The :func:`unigram_model` artifact derived from the streaming
+    token-stats state — equal to the batch build over the committed
+    prefix of the stream, at the cost of reading only the vocab-sized
+    state table."""
+    tc = read_sketch_state(spark, state_dir)
+    if tc is None:
+        return None
+    return model_from_token_counts(tc, vocab_size)

@@ -60,6 +60,7 @@ def _merge_batch(
     state_dir: str,
     build: Callable[[DataFrame], DataFrame],
     keys: list[str],
+    n_files: int = 1,
 ) -> None:
     spark = batch_df.sparkSession
     head = read_head(state_dir)
@@ -70,7 +71,7 @@ def _merge_batch(
         prev = spark.read.parquet(head["version"])
         sk = prev.unionByName(sk).groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
     vdir = os.path.join(state_dir, "versions", f"v{batch_id}")
-    sk.coalesce(1).write.mode("overwrite").parquet(vdir)
+    sk.coalesce(n_files).write.mode("overwrite").parquet(vdir)
     os.makedirs(state_dir, exist_ok=True)
     tmp = _head_path(state_dir) + ".tmp"
     with open(tmp, "w") as f:

@@ -38,3 +38,28 @@ def test_referential_integrity_counts_orphans(spark):
     rep = checks.referential_integrity(child, parent, "fk", "pk").collect()[0]
     assert rep["n_child"] == 4 and rep["n_orphans"] == 1
     assert abs(rep["ri"] - 0.75) < 1e-9
+
+
+def test_skew_profile_ranks_and_salts(spark):
+    # planted skew: key 'hot' 100 rows, 'warm' 10, 8 singletons
+    rows = (
+        [("hot",)] * 100 + [("warm",)] * 10 + [(f"k{i}",) for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(7)
+    out = checks.skew_profile(df, "k", top_n=3, target_rows_per_task=40).collect()
+    assert [r["k"] for r in out] == ["hot", "warm", "k0"]  # ties break on key
+    hot = out[0]
+    assert hot["n_rows"] == 100
+    assert abs(hot["share"] - round(100 / 118, 4)) < 1e-9
+    # 10 distinct keys, mean 11.8 rows -> hot is ~8.47x the mean
+    assert abs(hot["skew_vs_mean"] - 8.4746) < 1e-9
+    assert hot["salt_factor"] == 3  # ceil(100/40)
+    assert out[1]["salt_factor"] == 1 and out[2]["salt_factor"] == 1
+
+
+def test_skew_profile_deterministic_under_partitioning(spark):
+    rows = [(f"k{i % 13}",) for i in range(390)]
+    df = spark.createDataFrame(rows, "k string")
+    a = checks.skew_profile(df.repartition(2), "k", top_n=5).collect()
+    b = checks.skew_profile(df.repartition(17), "k", top_n=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -327,3 +327,34 @@ def test_cap_per_group_salt_changes_selection(spark):
     a = {r["doc_id"] for r in curation.cap_per_group(df, "source", 20, salt=0).collect()}
     b = {r["doc_id"] for r in curation.cap_per_group(df, "source", 20, salt=1).collect()}
     assert len(a) == len(b) == 20 and a != b
+
+
+def test_split_assign_partitions_every_row_once(spark):
+    df = spark.range(0, 2000).select(F.col("id").cast("string").alias("doc_id"))
+    out = curation.split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(got.values()) == 2000                      # total preserved
+    assert abs(got["train"] / 2000 - 0.8) < 0.04          # md5 is uniform
+    assert abs(got["val"] / 2000 - 0.1) < 0.03
+    assert abs(got["test"] / 2000 - 0.1) < 0.03
+
+
+def test_split_assign_stable_under_partitioning_and_growth(spark):
+    df = spark.range(0, 500).select(F.col("id").cast("string").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in curation.split_assign(
+        df.repartition(3), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    # growing the corpus must NOT move an existing doc between splits
+    grown = spark.range(0, 1000).select(F.col("id").cast("string").alias("doc_id"))
+    b = {r["doc_id"]: r["split"] for r in curation.split_assign(
+        grown.repartition(11), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_assign_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    df = spark.range(3).select(F.col("id").cast("string").alias("doc_id"))
+    with _pytest.raises(ValueError, match="sum to 1"):
+        curation.split_assign(df, {"train": 0.8, "val": 0.1})
+    with _pytest.raises(ValueError, match="at least two"):
+        curation.split_assign(df, {"all": 1.0})

@@ -300,3 +300,78 @@ def test_meta_spec_drift_raises(spark, tmp_path):
             n_buckets=16,  # different modulus -> existing readers would miss rows
             input_snapshot="s3",
         )
+
+
+def _two_col_deliveries(spark, out, n=1000, n_buckets=4):
+    """Like _interleaved_deliveries, plus a second tracked column w =
+    (v*541) mod n — a bijection whose ORDER is uncorrelated with v's, so
+    lexicographic clustering on (v, w) localizes only v: within any
+    v-sorted run, the w values scatter across the whole domain."""
+    base = spark.range(0, n // 2)
+    for snap, off in (("s1", 0), ("s2", 1)):
+        d = (
+            base.select(
+                F.format_string("d%05d", F.col("id") * 2 + off).alias("doc_id"),
+                (F.col("id") * 2 + off).alias("v"),
+            )
+            .withColumn("w", (F.col("v") * 541) % n)
+            .withColumn("text", F.lit("payload"))
+        )
+        mf.checkpointed_write(
+            spark, d, out, n_buckets=n_buckets, input_snapshot=snap,
+            stats_cols=["v", "w"],
+        )
+
+
+def test_zorder_compaction_prunes_every_cluster_column(spark, tmp_path):
+    out_z, out_lex = str(tmp_path / "z"), str(tmp_path / "lex")
+    for out in (out_z, out_lex):
+        _two_col_deliveries(spark, out)
+    mf.compact(
+        spark, out_z, key_col="doc_id", cluster_by=["v", "w"], zorder=True,
+        max_file_rows=25,
+    )
+    mf.compact(
+        spark, out_lex, key_col="doc_id", cluster_by=["v", "w"],
+        max_file_rows=25,
+    )
+
+    # lexicographic: w is the SECOND sort key, so every rolled file's
+    # w-range spans ~the whole domain — file-level zone maps keep
+    # (almost) everything on a w predicate
+    pred_w = [("w", "between", (100, 140))]
+    plan_lex = mf.prune_plan(spark, out_lex, pred_w)
+    assert plan_lex["total_files"] >= 30
+    assert plan_lex["kept_files"] >= int(plan_lex["total_files"] * 0.9)
+
+    # z-order: per-file w ranges are tight → real pruning on w...
+    plan_zw = mf.prune_plan(spark, out_z, pred_w)
+    assert plan_zw["total_files"] >= 30
+    assert plan_zw["kept_files"] <= int(plan_zw["total_files"] * 0.7)
+    assert plan_zw["kept_files"] < plan_lex["kept_files"]
+    # ...and v still prunes too (the z tradeoff costs some v-locality,
+    # never all of it)
+    pred_v = [("v", "between", (100, 140))]
+    plan_zv = mf.prune_plan(spark, out_z, pred_v)
+    assert plan_zv["kept_files"] <= int(plan_zv["total_files"] * 0.7)
+
+    # superset guarantee on both columns: pruned + filter == full + filter
+    for pred, col in ((pred_w, "w"), (pred_v, "v")):
+        got = mf.pruned_read(spark, out_z, pred).filter(F.col(col).between(100, 140))
+        want = mf.read_committed(spark, out_z).filter(F.col(col).between(100, 140))
+        assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+            r["doc_id"] for r in want.collect()
+        )
+        assert got.count() == 41
+
+    # the sort key is internal — it never lands in the table
+    assert "_zkey" not in mf.read_committed(spark, out_z).columns
+
+
+def test_zorder_rejects_string_cluster_column(spark, tmp_path):
+    import pytest as _pytest
+
+    out = str(tmp_path / "t")
+    _two_col_deliveries(spark, out, n=100)
+    with _pytest.raises(ValueError, match="rank-orderable"):
+        mf.compact(spark, out, cluster_by=["doc_id", "v"], zorder=True)

@@ -263,3 +263,48 @@ def test_dsir_select_survives_extreme_llr(spark):
     for r in out:
         import math
         assert math.isfinite(r["llr"])
+
+
+def test_bigram_model_counts_and_head_ties(spark):
+    import math
+
+    corpus = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "a c b")], "doc_id string, text string"
+    )
+    m = {(r["w1"], r["w2"]): r["lp"] for r in quality.bigram_model(corpus, 2).collect()}
+    # counts: ab:2 ba:1 ac:1 cb:1; unigrams a:3 b:3 c:1 -> head keeps ab
+    # then the tie at c12=1 breaks on (w1, w2) asc -> ac
+    assert set(m) == {("a", "b"), ("a", "c")}
+    assert abs(m[("a", "b")] - math.log(2 / 3)) < 1e-12
+    assert abs(m[("a", "c")] - math.log(1 / 3)) < 1e-12
+
+
+def test_bigram_score_exercises_all_backoff_branches(spark):
+    import math
+
+    corpus = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "a c b")], "doc_id string, text string"
+    )
+    uni = quality.unigram_model(corpus, vocab_size=2)   # head = {a, b}, N=7
+    bi = quality.bigram_model(corpus, bigram_size=2)    # head = {ab, ac}
+    q = spark.createDataFrame([("q1", "b a c a b x")], "doc_id string, text string")
+    rows = quality.score_with_bigram_model(q, bi, uni, alpha=0.4).collect()
+    assert len(rows) == 1 and rows[0]["n_pairs"] == 5
+    ln, a = math.log, math.log(0.4)
+    expected = (
+        (a + ln(3 / 7))        # (b,a): bigram miss -> backoff to unigram a
+        + ln(1 / 3)            # (a,c): bigram head hit
+        + (a + ln(3 / 7))      # (c,a): backoff to unigram a
+        + ln(2 / 3)            # (a,b): bigram head hit
+        + (a + ln(0.5 / 7))    # (b,x): backoff, x OOV -> floor
+    ) / 5
+    assert abs(rows[0]["logprob"] - expected) < 1e-12
+
+
+def test_bigram_pairs_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [("one", "solo"), ("zero", ""), ("two", "x y")],
+        "doc_id string, text string",
+    )
+    got = {(r["doc_id"], r["w1"], r["w2"]) for r in quality.bigram_pairs(df).collect()}
+    assert got == {("two", "x", "y")}

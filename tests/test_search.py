@@ -107,3 +107,74 @@ def test_incremental_exact_dedup_fp_table_path(spark):
         r["doc_id"] for r in dedup.incremental_exact_dedup(new, fp_table).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_hashed_tfidf_is_unit_norm_and_dense_roundtrips(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("a", "the cat sat on the mat"), ("b", "the dog ran fast"), ("c", "cat dog")],
+        "doc_id string, text string",
+    )
+    sp = search.hashed_tfidf(docs, dim=32)
+    # L2 norm is 1 per doc
+    norms = {
+        r["doc_id"]: r["n"]
+        for r in sp.groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("weight")).alias("n"))
+        .collect()
+    }
+    assert set(norms) == {"a", "b", "c"}
+    assert all(abs(n - 1.0) < 1e-9 for n in norms.values())
+    # buckets live in [0, dim)
+    mm = sp.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert mm[0] >= 0 and mm[1] < 32
+
+    # dense scatter reproduces exactly the sparse entries, zeros elsewhere
+    want = {
+        (r["doc_id"], r["bucket"]): r["weight"] for r in sp.collect()
+    }
+    dense = search.dense_from_sparse(sp, 32)
+    got = {r["doc_id"]: r["embedding"] for r in dense.collect()}
+    assert set(got) == {"a", "b", "c"}
+    for doc, vec in got.items():
+        assert len(vec) == 32
+        for i, v in enumerate(vec):
+            assert abs(v - want.get((doc, i), 0.0)) < 1e-12
+
+
+def test_hashed_tfidf_same_term_same_bucket_across_docs(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("a", "zebra"), ("b", "zebra")], "doc_id string, text string"
+    )
+    sp = search.hashed_tfidf(docs, dim=64, l2_normalize=False)
+    rows = sp.collect()
+    assert len(rows) == 2
+    assert rows[0]["bucket"] == rows[1]["bucket"]          # hashing is global
+    assert abs(rows[0]["weight"] - rows[1]["weight"]) < 1e-12
+
+
+def test_hashed_tfidf_dense_feeds_the_ann_family(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "machine learning models train on large data"),
+            ("b", "machine learning models train on large data quickly"),
+            ("c", "completely unrelated cooking recipe with soup and onions"),
+        ],
+        "doc_id string, text string",
+    )
+    dense = search.dense_from_sparse(search.hashed_tfidf(docs, dim=64), 64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    top = similarity.brute_force_topk(
+        dense, dense.filter(F.col("vec_id") == "a"), k=2
+    ).collect()
+    # near-duplicate text is the nearest neighbor, by a wide margin
+    assert top[0]["neighbor_id"] == "b" and top[0]["sim"] > 0.9
+    assert top[1]["neighbor_id"] == "c" and top[1]["sim"] < 0.3

@@ -120,3 +120,51 @@ def test_unigram_model_score_stream_equals_batch(spark, tmp_path):
     g = {r["doc_id"]: (r["n_tok"], round(r["logprob"], 9)) for r in got_rows}
     w = {r["doc_id"]: (r["n_tok"], round(r["logprob"], 9)) for r in want}
     assert g == w and len(g) == docs.count()
+
+
+def test_token_stats_stream_equals_batch_and_feeds_the_model(spark, tmp_path):
+    from ocr_spark.streaming.quality import (
+        token_stats_stream_writer,
+        unigram_model_from_state,
+    )
+    from ocr_spark.streaming.sketch import read_head, read_sketch_state
+
+    src, docs = _write_batched(spark, tmp_path)
+    state = str(tmp_path / "tok_state")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def _drain():
+        q = (
+            token_stats_stream_writer(stream, "text", state)
+            .option("checkpointLocation", str(tmp_path / "ck_tok"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "streaming query did not drain in time"
+
+    _drain()
+    head = read_head(state)
+    assert head is not None and head["last_batch_id"] >= 2  # crossed batch bounds
+
+    got = {r["tok"]: r["cnt"] for r in read_sketch_state(spark, state).collect()}
+    want = {
+        r["tok"]: r["cnt"] for r in quality.token_counts(docs, "text").collect()
+    }
+    assert got == want
+
+    # the derived artifact equals the batch unigram_model over the prefix
+    m_stream = {
+        r["tok"]: (round(r["lp"], 10), r["n_total"])
+        for r in unigram_model_from_state(spark, state, vocab_size=200).collect()
+    }
+    m_batch = {
+        r["tok"]: (round(r["lp"], 10), r["n_total"])
+        for r in quality.unigram_model(docs, vocab_size=200).collect()
+    }
+    assert m_stream == m_batch
+
+    # re-running the drained stream replays nothing: state untouched
+    _drain()
+    assert read_head(state) == head

@@ -44,6 +44,11 @@ CROSS_OK = {
     # two one-row OOV-floor scalar attaches (one per unigram model) —
     # the same deliberate pattern as unigram_model_score
     "dsir_select",
+    # one-row totals / N / OOV-floor scalar attaches (round 4):
+    # skew_profile broadcasts its (total, n_keys) row into the top-N,
+    # hashed_tfidf broadcasts the doc count into the idf, bigram_score
+    # attaches the OOV floor like the other LM scorers
+    "skew_profile", "hashed_tfidf", "bigram_score",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}

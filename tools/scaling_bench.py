@@ -150,6 +150,14 @@ def main() -> None:
                         "wall_sec": engine[c]["queries"]["extraction_pipeline"],
                         "docs_per_sec": engine[c]["extraction_docs_per_sec"],
                         "raw_cpu_tasks_per_sec": round(raw[c], 2),
+                        # per-level canaries: a level measured in a degraded
+                        # host window (observed: local[8] 966 vs 1537 docs/s
+                        # minutes apart) is visible in the record instead of
+                        # masquerading as an engine scaling defect
+                        "host_canary_sec": engine[c].get("host_canary_sec"),
+                        "host_canary_end_sec": engine[c].get("host_canary_end_sec"),
+                        "py_canary_sec": engine[c].get("py_canary_sec"),
+                        "io_canary_sec": engine[c].get("io_canary_sec"),
                     }
                     for c in levels
                 },
