@@ -40,21 +40,53 @@ def main() -> None:
         "metrics so compacted files land at or under this size "
         "(ignored when --max-file-rows is given)",
     )
+    ap.add_argument(
+        "--cluster-by", default=None,
+        help="comma-separated sort columns: rolled files cover near-"
+        "disjoint ranges and get per-file zone maps (prune_plan then "
+        "prunes at file granularity)",
+    )
+    ap.add_argument(
+        "--zorder", action="store_true",
+        help="Z-order (Morton) the --cluster-by columns instead of "
+        "lexicographic sort, so every cluster column prunes",
+    )
+    ap.add_argument("--zorder-bits", type=int, default=6)
+    ap.add_argument(
+        "--max-live-epochs", type=int, default=None,
+        help="policy mode: compact only when live epochs exceed this "
+        "(the maintenance-loop trigger; skips cheaply otherwise)",
+    )
+    ap.add_argument(
+        "--expire-older-than-days", type=float, default=None,
+        help="after compacting, run the retention sweep: drop history "
+        "older than this many days (live tags always survive)",
+    )
     args = ap.parse_args()
 
+    import time
+
     from ocr_spark.session import get_spark
-    from ocr_spark.sources.manifests import compact
+    from ocr_spark.sources.manifests import compact, expire, maybe_compact
 
     spark = get_spark(app_name="ocr_spark_compact")
-    stats = compact(
-        spark,
-        args.out,
+    opts = dict(
         key_col=args.key_col,
-        min_epochs=args.min_epochs,
         vacuum=args.vacuum,
         max_file_rows=args.max_file_rows,
         target_file_bytes=args.target_file_bytes,
+        cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        zorder=args.zorder,
+        zorder_bits=args.zorder_bits,
     )
+    if args.max_live_epochs is not None:
+        stats = maybe_compact(spark, args.out, args.max_live_epochs, **opts)
+    else:
+        stats = compact(spark, args.out, min_epochs=args.min_epochs, **opts)
+    if args.expire_older_than_days is not None:
+        stats["expire"] = expire(
+            spark, args.out, time.time() - args.expire_older_than_days * 86400.0
+        )
     print(json.dumps(stats))
 
 

@@ -684,3 +684,87 @@ def score_with_bigram_model(
         F.count(F.lit(1)).alias("n_pairs"),
         (F.sum("_s") / F.count(F.lit(1))).alias("logprob"),
     )
+
+
+def token_entropy(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tok, n_types, entropy, ttr): Shannon entropy (nats) of
+    each document's token distribution plus the type-token ratio — the
+    information-density quality signal: templated, boilerplate, or
+    keyword-stuffed docs concentrate probability mass on few types and
+    score low, natural prose scores near ln(n_types).
+
+    Uses the identity −Σ (tf/n)·ln(tf/n) = ln n − (Σ tf·ln tf)/n, so the
+    whole signal is ONE keyed aggregation over the (doc, term, tf)
+    frame the tf-idf family already produces — no second pass, no
+    window. Zero-token docs produce no row (same contract as the LM
+    scorers)."""
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    pg = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        pg.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("tf") * F.log(F.col("tf"))).alias("_tlt"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            "n_types",
+            (F.log(F.col("n_tok")) - F.col("_tlt") / F.col("n_tok")).alias(
+                "entropy"
+            ),
+            (F.col("n_types") / F.col("n_tok")).alias("ttr"),
+        )
+    )
+
+
+def collocations(
+    corpus: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, c12, pmi): pointwise mutual information of every bigram
+    seen at least ``min_count`` times — the classic collocation / phrase
+    -mining statistic (Church & Hanks 1990): pmi = ln( p(w1,w2) /
+    (p(w1)·p(w2)) ) with p(w1,w2) = c12/N_pairs and p(w) = c/N_tokens.
+
+    Reuses :func:`bigram_pairs` + :func:`token_counts`; the unigram side
+    is vocabulary-sized so both probability joins broadcast. Output is a
+    SET (count threshold only, no top-N), so the result is deterministic
+    without any ordering contract — rare-pair noise is excluded by the
+    exact integer ``min_count`` gate, not a float cut."""
+    bc = (
+        bigram_pairs(corpus, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uc = token_counts(corpus, text_col)
+    # N_pairs is the total over ALL pairs, not the thresholded set
+    np_tot = bigram_pairs(corpus, text_col).agg(F.count(F.lit(1)).alias("_np"))
+    nt_tot = uc.agg(F.sum("cnt").alias("_nt"))
+    u1 = F.broadcast(uc.select(F.col("tok").alias("w1"), F.col("cnt").alias("_c1")))
+    u2 = F.broadcast(uc.select(F.col("tok").alias("w2"), F.col("cnt").alias("_c2")))
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(np_tot))
+        .crossJoin(F.broadcast(nt_tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log(
+                (F.col("c12") / F.col("_np"))
+                / ((F.col("_c1") / F.col("_nt")) * (F.col("_c2") / F.col("_nt")))
+            ).alias("pmi"),
+        )
+    )

@@ -3929,6 +3929,74 @@ GROUP BY doc_id
 """
 
 
+def q_token_entropy(spark, sf_dir):
+    """Shannon entropy + type-token ratio per document — the
+    information-density quality signal, computed as one keyed agg over
+    the (doc, term, tf) frame via ln n − (Σ tf·ln tf)/n."""
+    out = quality.token_entropy(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_types",
+        fix6(F.col("entropy")).alias("entropy"),
+        fix6(F.col("ttr")).alias("ttr"),
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS term FROM documents
+),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+pg AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_types,
+         sum(tf * ln(tf)) AS tlt
+  FROM pg GROUP BY 1
+)
+SELECT doc_id, n_tok, n_types,
+       {_SQL_FIX6.format(x="ln(n_tok) - tlt / n_tok")} AS entropy,
+       {_SQL_FIX6.format(x="CAST(n_types AS DOUBLE) / n_tok")} AS ttr
+FROM agg
+"""
+
+
+_COLLOC_MIN = 20
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations (Church & Hanks 1990): every bigram seen ≥ 20
+    times with its pointwise mutual information — a SET (integer count
+    gate only), so no ordering contract is needed for determinism."""
+    out = quality.collocations(_t(spark, sf_dir, "documents"), min_count=_COLLOC_MIN)
+    return out.select("w1", "w2", "c12", fix6(F.col("pmi")).alias("pmi"))
+
+
+SQL_COLLOCATIONS = f"""
+WITH d AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+pairs AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM d, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+  WHERE w[i] <> '' AND w[i + 1] <> ''
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+np AS (SELECT CAST(count(*) AS BIGINT) AS npairs FROM pairs),
+t2 AS (SELECT unnest(w) AS tok FROM d),
+t3 AS (SELECT tok FROM t2 WHERE tok <> ''),
+tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t3 GROUP BY 1),
+nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS ntok FROM tc)
+SELECT w1, w2, c12,
+       {_SQL_FIX6.format(x="ln((c12 / npairs) / ((c1 / ntok) * (c2 / ntok)))")} AS pmi
+FROM bc
+JOIN (SELECT tok AS w1, cnt AS c1 FROM tc) USING (w1)
+JOIN (SELECT tok AS w2, cnt AS c2 FROM tc) USING (w2)
+CROSS JOIN np CROSS JOIN nt
+WHERE c12 >= {_COLLOC_MIN}
+"""
+
+
 _HTFIDF_DIM = 256
 
 
@@ -4150,4 +4218,6 @@ CATALOG: dict[str, tuple] = {
     "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
     "bigram_score": (q_bigram_score, SQL_BIGRAM_SCORE),
     "hashed_tfidf": (q_hashed_tfidf, SQL_HASHED_TFIDF),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
 }

@@ -969,7 +969,12 @@ def _expired_delete_epochs(spark: SparkSession, out_dir: str) -> set:
     return {r["epoch"] for r in df.select("epoch").distinct().collect()}
 
 
-def expire(spark: SparkSession, out_dir: str, older_than: float) -> dict:
+def expire(
+    spark: SparkSession,
+    out_dir: str,
+    older_than: float,
+    respect_tags: bool = True,
+) -> dict:
     """Retention sweep (the Iceberg expire-snapshots analogue): after
     this, time travel to instants BEFORE ``older_than`` may read
     incomplete data — that is the retention contract — while every read
@@ -987,9 +992,20 @@ def expire(spark: SparkSession, out_dir: str, older_than: float) -> dict:
        leaves orphaned-but-invisible files.
 
     Run it on the compactor's schedule with ``older_than = now −
-    retention_window``."""
+    retention_window``.
+
+    ``respect_tags`` (default) clamps ``older_than`` to the oldest live
+    tag's pinned instant, so a tagged snapshot (a reproducible training
+    corpus someone still references) survives any retention setting —
+    the Iceberg behavior, where tagged snapshots are exempt from
+    expire. Delete the tag first to let its history go."""
     import glob as _glob
     import shutil
+
+    if respect_tags:
+        tags = list_tags(out_dir)
+        if tags:
+            older_than = min(older_than, min(t["as_of"] for t in tags))
 
     c = read_compactions(spark, out_dir)
     removed_data = 0
@@ -1793,3 +1809,32 @@ def remove_orphans(
         if not dry_run:
             shutil.rmtree(d, ignore_errors=True)
     return {"removed": 0 if dry_run else len(orphans), "orphans": sorted(orphans)}
+
+
+def maybe_compact(
+    spark: SparkSession,
+    out_dir: str,
+    max_live_epochs: int = 8,
+    **compact_kwargs,
+) -> dict:
+    """Auto-compaction policy: rewrite only when the live epoch count
+    exceeds ``max_live_epochs`` — the maintenance-loop form of
+    :func:`compact` (Iceberg's "rewrite when small files accumulate"
+    trigger). A table ingesting one delivery per period accumulates one
+    epoch directory per bucket per delivery; this keeps the read-side
+    listing cost bounded at ~max_live_epochs files per bucket without
+    paying a full rewrite on every maintenance tick. The decision reads
+    only the metadata-sized manifest table. All other keyword args pass
+    through to :func:`compact` (cluster_by/zorder/stats keep their
+    pruning power across policy-driven rewrites exactly as they do for
+    manual ones)."""
+    m = active_manifests(spark, out_dir)
+    if m is None:
+        return {"skipped": True, "live_epochs": 0}
+    live = m.select("job_epoch").distinct().count()
+    if live <= max_live_epochs:
+        return {"skipped": True, "live_epochs": live}
+    res = compact(spark, out_dir, min_epochs=2, **compact_kwargs)
+    res["skipped"] = False
+    res["live_epochs"] = live
+    return res

@@ -113,3 +113,54 @@ def test_remove_orphans(spark, tmp_path):
     assert mf.read_committed(spark, out).count() == 100
     n_dirs = len(glob.glob(f"{out}/data/bucket=*/epoch=*"))
     assert n_dirs == 6  # 2 buckets x (s1 + s2 + compacted)
+
+
+def test_maybe_compact_respects_the_epoch_threshold(spark, tmp_path):
+    out = str(tmp_path / "t")
+    for i in range(3):
+        mf.checkpointed_write(
+            spark, _delivery(spark, i * 100, 20), out, n_buckets=2,
+            input_snapshot=f"s{i}",
+        )
+    # 3 live epochs <= threshold: policy declines, table untouched
+    res = mf.maybe_compact(spark, out, max_live_epochs=3)
+    assert res == {"skipped": True, "live_epochs": 3}
+    # threshold crossed: the policy compacts and reports both facts
+    res = mf.maybe_compact(spark, out, max_live_epochs=2, key_col="doc_id")
+    assert res["skipped"] is False and res["live_epochs"] == 3
+    assert res["epochs_compacted"] == 3 and res["new_epoch"]
+    assert len(_ids(mf.read_committed(spark, out))) == 60
+    # post-compaction: one live epoch, policy declines again
+    res = mf.maybe_compact(spark, out, max_live_epochs=2)
+    assert res == {"skipped": True, "live_epochs": 1}
+
+
+def test_maybe_compact_on_missing_table(spark, tmp_path):
+    res = mf.maybe_compact(spark, str(tmp_path / "nope"), max_live_epochs=1)
+    assert res == {"skipped": True, "live_epochs": 0}
+
+
+def test_expire_respects_live_tags(spark, tmp_path):
+    import time as _time
+
+    out = str(tmp_path / "t")
+    mf.checkpointed_write(spark, _delivery(spark, 0, 30), out, n_buckets=2,
+                          input_snapshot="s1")
+    mf.create_tag(out, "training-v1")
+    pinned = _ids(mf.read_tag(spark, out, "training-v1"))
+    mf.checkpointed_write(spark, _delivery(spark, 1000, 20), out, n_buckets=2,
+                          input_snapshot="s2")
+    mf.compact(spark, out, key_col="doc_id")
+
+    # aggressive retention, but the tag pins history: nothing removed
+    res = mf.expire(spark, out, older_than=_time.time() + 10)
+    assert res["data_epoch_dirs_removed"] == 0
+    assert _ids(mf.read_tag(spark, out, "training-v1")) == pinned
+
+    # drop the tag: the same sweep now strips the superseded epochs
+    mf.drop_tag(out, "training-v1")
+    res = mf.expire(spark, out, older_than=_time.time() + 10)
+    assert res["data_epoch_dirs_removed"] > 0
+    assert len(_ids(mf.read_committed(spark, out))) == 50
+
+    # respect_tags=False would have ignored the pin (documented escape)

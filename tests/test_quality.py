@@ -308,3 +308,37 @@ def test_bigram_pairs_short_docs_emit_nothing(spark):
     )
     got = {(r["doc_id"], r["w1"], r["w2"]) for r in quality.bigram_pairs(df).collect()}
     assert got == {("two", "x", "y")}
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "x"), ("d3", "")], "doc_id string, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality.token_entropy(df).collect()}
+    assert set(rows) == {"d1", "d2"}  # zero-token docs emit nothing
+    d1 = rows["d1"]
+    assert d1["n_tok"] == 3 and d1["n_types"] == 2
+    assert abs(d1["entropy"] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12
+    assert abs(d1["ttr"] - 2 / 3) < 1e-12
+    d2 = rows["d2"]
+    assert d2["n_tok"] == d2["n_types"] == 1
+    assert abs(d2["entropy"]) < 1e-12 and abs(d2["ttr"] - 1.0) < 1e-12
+
+
+def test_collocations_pmi_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("d1", "new york new york new york"), ("d2", "old boston")],
+        "doc_id string, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in quality.collocations(df, min_count=2).collect()}
+    # pairs: (new,york) x3, (york,new) x2, (old,boston) x1 -> threshold keeps 2
+    assert set(got) == {("new", "york"), ("york", "new")}
+    # N_pairs = 6 (ALL pairs, not just survivors), N_tok = 8; c(new)=c(york)=3
+    ny, yn = got[("new", "york")], got[("york", "new")]
+    assert ny["c12"] == 3 and yn["c12"] == 2
+    assert abs(ny["pmi"] - math.log((3 / 6) / ((3 / 8) * (3 / 8)))) < 1e-12
+    assert abs(yn["pmi"] - math.log((2 / 6) / ((3 / 8) * (3 / 8)))) < 1e-12

@@ -49,6 +49,8 @@ CROSS_OK = {
     # hashed_tfidf broadcasts the doc count into the idf, bigram_score
     # attaches the OOV floor like the other LM scorers
     "skew_profile", "hashed_tfidf", "bigram_score",
+    # collocations attaches the one-row N_pairs and N_tokens totals
+    "collocations",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
