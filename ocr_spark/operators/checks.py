@@ -118,3 +118,60 @@ def skew_profile(
         .cast("long")
         .alias("salt_factor"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robust outlier detection via the modified z-score (Iglewicz &
+    Hoaglin 1993): flag rows where 0.6745·|x − median| / MAD > ``k``,
+    with median and MAD (median absolute deviation) computed per group.
+    Mean/stddev outlier rules break down exactly when outliers exist
+    (the outliers inflate the stddev that is supposed to catch them);
+    the median/MAD pair has a 50 % breakdown point, which is why it is
+    the curation-grade length/score filter.
+
+    Two keyed exact-percentile aggregations (median, then MAD over the
+    residuals) plus broadcast stats joins back — groups are recipe-sized
+    (languages/sources), so every agg is a tiny shuffle and the corpus
+    itself never reshuffles. A zero-MAD group (over half the values
+    identical) yields null robust_z and flags nothing — the
+    conservative reading of a degenerate scale estimate.
+
+    Returns (id, [group], value, med, mad, robust_z) for flagged rows.
+    """
+    gcols = [group_col] if group_col else []
+    med = df.groupBy(*gcols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    joined = (
+        df.join(F.broadcast(med), on=gcols) if gcols
+        else df.crossJoin(F.broadcast(med))
+    )
+    mad = joined.groupBy(*gcols).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    stats = (
+        med.join(mad, on=gcols) if gcols else med.crossJoin(F.broadcast(mad))
+    )
+    scored = (
+        df.join(F.broadcast(stats), on=gcols) if gcols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    rz = F.lit(0.6745) * F.abs(F.col(value_col) - F.col("_med")) / F.col("_mad")
+    return (
+        scored.withColumn("robust_z", F.when(F.col("_mad") > 0, rz))
+        .filter(F.col("robust_z") > k)
+        .select(
+            id_col,
+            *gcols,
+            value_col,
+            F.col("_med").alias("med"),
+            F.col("_mad").alias("mad"),
+            "robust_z",
+        )
+    )

@@ -3997,6 +3997,47 @@ WHERE c12 >= {_COLLOC_MIN}
 """
 
 
+_MAD_K = 1.5  # demo threshold: the synthetic lengths are tight, so the
+# production default 3.5 flags nothing at this SF — 1.5 exercises the
+# flag path while the unit test plants real far-outliers
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-language length outliers (modified z-score, Iglewicz &
+    Hoaglin): exact median/MAD per lang, flag docs with
+    0.6745·|x−med|/MAD > k."""
+    from ocr_spark.operators import checks
+
+    out = checks.mad_outliers(
+        _t(spark, sf_dir, "documents"), "n_chars", group_col="lang", k=_MAD_K
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        fix6(F.col("med")).alias("med"),
+        fix6(F.col("mad")).alias("mad"),
+        fix6(F.col("robust_z")).alias("robust_z"),
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY 1
+),
+mad AS (
+  SELECT d.lang, quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+  FROM documents d JOIN med m USING (lang) GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       {_SQL_FIX6.format(x="m.med")} AS med,
+       {_SQL_FIX6.format(x="t.mad")} AS mad,
+       {_SQL_FIX6.format(x="CAST(0.6745 AS DOUBLE) * abs(d.n_chars - m.med) / t.mad")} AS robust_z
+FROM documents d JOIN med m USING (lang) JOIN mad t USING (lang)
+WHERE t.mad > 0 AND CAST(0.6745 AS DOUBLE) * abs(d.n_chars - m.med) / t.mad > {_MAD_K}
+"""
+
+
 _HTFIDF_DIM = 256
 
 
@@ -4220,4 +4261,5 @@ CATALOG: dict[str, tuple] = {
     "hashed_tfidf": (q_hashed_tfidf, SQL_HASHED_TFIDF),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
 }

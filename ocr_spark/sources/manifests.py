@@ -1838,3 +1838,66 @@ def maybe_compact(
     res["skipped"] = False
     res["live_epochs"] = live
     return res
+
+
+def table_stats(spark: SparkSession, out_dir: str) -> dict:
+    """One-call operational report (the SHOW TABLE / DESCRIBE DETAIL
+    analogue): everything a maintenance loop or an operator pages
+    through, from the metadata-sized tables only — no data files are
+    listed or opened. Keys: spec (bucketing), live/superseded epoch
+    counts, deliveries, buckets, row/byte totals of the live view,
+    committed tombstone epochs and keys, tags, and which acceleration
+    features the live manifests carry (zone-map stats columns, key
+    blooms, per-file sidecars)."""
+    meta = read_table_meta(out_dir) or {}
+    out: dict = {
+        "spec": meta,
+        "live_epochs": 0,
+        "deliveries": 0,
+        "buckets": 0,
+        "live_rows": 0,
+        "live_bytes": 0,
+        "superseded_epochs": 0,
+        "tombstone_epochs": 0,
+        "tombstone_keys": 0,
+        "tags": [t["name"] for t in list_tags(out_dir)],
+        "stats_cols": [],
+        "has_blooms": False,
+        "filestat_epochs": 0,
+    }
+    m = active_manifests(spark, out_dir)
+    if m is not None:
+        row = m.agg(
+            F.countDistinct("job_epoch"),
+            F.countDistinct("input_snapshot"),
+            F.countDistinct("bucket"),
+            F.sum("row_count"),
+            F.sum("byte_count"),
+        ).collect()[0]
+        out.update(
+            live_epochs=row[0], deliveries=row[1], buckets=row[2],
+            live_rows=row[3] or 0, live_bytes=row[4] or 0,
+        )
+        out["stats_cols"] = _tracked_stats_cols(m)
+        out["has_blooms"] = _live_bloom_spec(m) is not None
+    c = read_compactions(spark, out_dir)
+    if c is not None:
+        out["superseded_epochs"] = (
+            c.select(F.explode("superseded").alias("e")).distinct().count()
+        )
+    try:
+        dm = spark.read.parquet(_delete_manifest_dir(out_dir))
+        expired = _expired_delete_epochs(spark, out_dir)
+        live_t = dm.filter(~F.col("epoch").isin(list(expired))) if expired else dm
+        trow = live_t.agg(F.countDistinct("epoch"), F.sum("n_keys")).collect()[0]
+        out["tombstone_epochs"] = trow[0]
+        out["tombstone_keys"] = trow[1] or 0
+    except AnalysisException as e:
+        if not _is_path_missing(e):
+            raise
+    fs = _filestats_dir(out_dir)
+    if os.path.isdir(fs):
+        out["filestat_epochs"] = len(
+            [f for f in os.listdir(fs) if f.endswith(".json")]
+        )
+    return out

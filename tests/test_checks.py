@@ -63,3 +63,29 @@ def test_skew_profile_deterministic_under_partitioning(spark):
     a = checks.skew_profile(df.repartition(2), "k", top_n=5).collect()
     b = checks.skew_profile(df.repartition(17), "k", top_n=5).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_mad_outliers_flags_planted_extremes_only(spark):
+    # 20 lengths near 100, two far outliers; ungrouped
+    rows = [(f"d{i}", 100 + (i % 5)) for i in range(20)]
+    rows += [("big", 10_000), ("tiny", 1)]
+    df = spark.createDataFrame(rows, "doc_id string, v long")
+    got = {r["doc_id"]: r for r in checks.mad_outliers(df, "v", k=3.5).collect()}
+    assert set(got) == {"big", "tiny"}
+    assert got["big"]["robust_z"] > 1000  # med=102, mad=1 -> z ~ 6676
+    # stddev-based rules would NOT flag tiny here (the big outlier
+    # inflates sigma); the 50%-breakdown median/MAD pair does
+
+
+def test_mad_outliers_grouped_and_zero_mad_guard(spark):
+    rows = [("a", f"x{i}", 50) for i in range(10)] + [("a", "out", 500)]
+    rows += [("b", f"y{i}", 7) for i in range(8)]  # constant group: MAD=0
+    df = spark.createDataFrame(rows, "g string, doc_id string, v long")
+    got = checks.mad_outliers(df, "v", group_col="g", k=3.5).collect()
+    # zero-MAD groups flag nothing (a: mad=0 too! all 50s except one ->
+    # median 50, residuals all 0 except 450 -> mad=0) -> nothing flagged
+    assert got == []
+    rows2 = [("a", f"x{i}", 50 + (i % 3)) for i in range(10)] + [("a", "out", 500)]
+    df2 = spark.createDataFrame(rows2, "g string, doc_id string, v long")
+    got2 = checks.mad_outliers(df2, "v", group_col="g", k=3.5).collect()
+    assert [r["doc_id"] for r in got2] == ["out"]

@@ -164,3 +164,33 @@ def test_expire_respects_live_tags(spark, tmp_path):
     assert len(_ids(mf.read_committed(spark, out))) == 50
 
     # respect_tags=False would have ignored the pin (documented escape)
+
+
+def test_table_stats_reports_the_whole_lifecycle(spark, tmp_path):
+    out = str(tmp_path / "t")
+    for i in range(2):
+        mf.checkpointed_write(
+            spark, _delivery(spark, i * 100, 25), out, n_buckets=2,
+            input_snapshot=f"s{i}", stats_cols=["v"], bloom_key=True,
+        )
+    mf.create_tag(out, "v1")
+    mf.delete_keys(spark, out, ["d00003"])
+    st = mf.table_stats(spark, out)
+    assert st["live_epochs"] == 2 and st["deliveries"] == 2
+    assert st["buckets"] == 2 and st["live_rows"] == 50
+    assert st["live_bytes"] > 0 and st["spec"]["key_col"] == "doc_id"
+    assert st["tombstone_epochs"] == 1 and st["tombstone_keys"] == 1
+    assert st["tags"] == ["v1"] and st["stats_cols"] == ["v"]
+    assert st["has_blooms"] is True and st["superseded_epochs"] == 0
+
+    mf.compact(spark, out, key_col="doc_id", cluster_by="v", max_file_rows=10)
+    st = mf.table_stats(spark, out)
+    assert st["live_epochs"] == 1 and st["superseded_epochs"] == 2
+    assert st["live_rows"] == 49          # compaction applied the tombstone
+    assert st["filestat_epochs"] == 1     # clustered rewrite left a sidecar
+    assert st["stats_cols"] == ["v"]      # pruning power carried across
+
+
+def test_table_stats_on_missing_table(spark, tmp_path):
+    st = mf.table_stats(spark, str(tmp_path / "nope"))
+    assert st["live_epochs"] == 0 and st["tags"] == [] and st["spec"] == {}
