@@ -4072,6 +4072,63 @@ FROM w JOIN nrm USING (doc_id)
 """
 
 
+_TEXT_ANN_QUERIES = ("0", "1", "2")
+
+
+def q_text_ann_topk(spark, sf_dir):
+    """End-to-end text→vector→ANN composition: hashed TF-IDF sparse
+    rows → dense scatter (the Arrow UDF bridge) → exact cosine top-5.
+    The one ANN row whose oracle REPLAYS the whole construction
+    independently (a sparse dot-product twin — no array ops in SQL)
+    instead of pinning a golden: cosine of L2-normalized vectors equals
+    the sparse weight dot, so the twin joins the sparse rows on bucket
+    and never materializes a vector."""
+    docs = _t(spark, sf_dir, "documents")
+    sp = search.hashed_tfidf(docs, dim=_HTFIDF_DIM)
+    dense = search.dense_from_sparse(sp, _HTFIDF_DIM).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    queries = dense.filter(F.col("vec_id").isin(list(_TEXT_ANN_QUERIES)))
+    return similarity.brute_force_topk(dense, queries, k=5)
+
+
+_SQL_HTFIDF_SPARSE = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split({{norm}}, ' ')) AS term FROM documents
+),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+pg AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM pg GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+w AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) % {_HTFIDF_DIM} AS bucket,
+         sum(tf * (ln((1 + N) / (1 + df)) + 1.0)) AS raw
+  FROM pg JOIN dfc USING (term) CROSS JOIN nd
+  GROUP BY 1, 2
+),
+nrm AS (SELECT doc_id, sqrt(sum(raw * raw)) AS l2 FROM w GROUP BY 1),
+wn AS (SELECT doc_id, bucket, raw / l2 AS weight FROM w JOIN nrm USING (doc_id))
+"""
+
+
+SQL_TEXT_ANN_TOPK = f"""
+WITH {_SQL_HTFIDF_SPARSE.format(norm=_SQL_NORM)},
+sims AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         {_SQL_FIX6.format(x="sum(q.weight * c.weight)")} AS sim
+  FROM (SELECT * FROM wn WHERE doc_id IN {_TEXT_ANN_QUERIES!r}) q
+  JOIN wn c ON q.bucket = c.bucket AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
 _SPLIT_T1 = curation._rate_threshold(0.8)
 _SPLIT_T2 = curation._rate_threshold(0.9)
 
@@ -4262,4 +4319,5 @@ CATALOG: dict[str, tuple] = {
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "text_ann_topk": (q_text_ann_topk, SQL_TEXT_ANN_TOPK),
 }

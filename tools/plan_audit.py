@@ -51,6 +51,9 @@ CROSS_OK = {
     "skew_profile", "hashed_tfidf", "bigram_score",
     # collocations attaches the one-row N_pairs and N_tokens totals
     "collocations",
+    # text_ann_topk composes hashed_tfidf's one-row N attach with
+    # embed_topk's broadcast brute-force theta-join
+    "text_ann_topk",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
