@@ -284,3 +284,93 @@ def dense_from_sparse(
         F.collect_list("bucket").alias("_b"), F.collect_list("weight").alias("_w")
     )
     return packed.select(id_col, _scatter("_b", "_w").alias("embedding"))
+
+
+def doc_freq_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(tok, cnt) document-frequency table + one sentinel row
+    ``tok=''`` carrying the document count — the corpus statistic
+    :func:`hashed_tfidf` derives idf from, in the additive form the
+    streaming state writer merges (each doc contributes once per
+    distinct term, and docs never recur across deliveries, so
+    per-delivery stats SUM to the whole-corpus stats). The empty-string
+    sentinel can never collide with a real term: tokenization filters
+    empty tokens everywhere in this repo."""
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    df_rows = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("term").alias("tok"), "cnt")
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("").alias("tok"), "cnt"
+    )
+    return df_rows.unionByName(n_docs)
+
+
+def hashed_tfidf_apply(
+    documents: DataFrame,
+    stats: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """Embed documents against a FIXED corpus-stats artifact (a
+    :func:`doc_freq_stats` table — typically the live state maintained
+    by ``doc_freq_stream_writer``): same sparse (doc_id, bucket, weight)
+    contract as :func:`hashed_tfidf`, but the corpus is never rescanned
+    — the deployable / streaming form, the same fixed-artifact split as
+    ``unigram_model`` vs ``score_with_unigram_model``.
+
+    Terms unseen in the stats get df=0 — idf = ln((1+N)/1)+1, the max —
+    which is the sklearn handle-unseen behavior and what you want for a
+    brand-new term. Applied to the SAME corpus the stats were built
+    from, the output equals :func:`hashed_tfidf` row-for-row (tested),
+    which is the equivalence that makes the incremental path
+    trustworthy."""
+    from pyspark.sql import Window
+
+    n_row = F.broadcast(
+        stats.filter(F.col("tok") == "").select(F.col("cnt").alias("N"))
+    )
+    dfs = F.broadcast(
+        stats.filter(F.col("tok") != "").select(
+            F.col("tok").alias("term"), F.col("cnt").alias("df")
+        )
+    )
+    toks = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    pg = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = F.log(
+        (F.lit(1) + F.col("N")) / (F.lit(1) + F.coalesce(F.col("df"), F.lit(0)))
+    ) + F.lit(1.0)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+        % dim
+    )
+    w = (
+        pg.join(dfs, on="term", how="left")
+        .crossJoin(n_row)
+        .groupBy(id_col, bucket.alias("bucket"))
+        .agg(F.sum(F.col("tf") * idf).alias("weight"))
+    )
+    if not l2_normalize:
+        return w
+    win = Window.partitionBy(id_col)
+    return w.withColumn(
+        "weight",
+        F.col("weight")
+        / F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(win)),
+    )

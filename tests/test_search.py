@@ -178,3 +178,42 @@ def test_hashed_tfidf_dense_feeds_the_ann_family(spark):
     # near-duplicate text is the nearest neighbor, by a wide margin
     assert top[0]["neighbor_id"] == "b" and top[0]["sim"] > 0.9
     assert top[1]["neighbor_id"] == "c" and top[1]["sim"] < 0.3
+
+
+def test_hashed_tfidf_apply_equals_batch_on_same_corpus(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("a", "the cat sat on the mat"), ("b", "the dog ran fast"), ("c", "cat dog soup")],
+        "doc_id string, text string",
+    )
+    stats = search.doc_freq_stats(docs)
+    rows = {r["tok"]: r["cnt"] for r in stats.collect()}
+    assert rows[""] == 3                      # sentinel = doc count
+    assert rows["the"] == 2 and rows["cat"] == 2 and rows["soup"] == 1
+    want = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in search.hashed_tfidf(docs, dim=32).collect()
+    }
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in search.hashed_tfidf_apply(docs, stats, dim=32).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+
+
+def test_hashed_tfidf_apply_unseen_terms_get_max_idf(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "alpha gamma")], "doc_id string, text string"
+    )
+    stats = search.doc_freq_stats(corpus)
+    new = spark.createDataFrame([("n", "zzz")], "doc_id string, text string")
+    got = search.hashed_tfidf_apply(new, stats, dim=16, l2_normalize=False).collect()
+    assert len(got) == 1
+    # unseen term: df=0 -> idf = ln((1+2)/1) + 1
+    assert abs(got[0]["weight"] - (math.log(3) + 1.0)) < 1e-12

@@ -168,3 +168,39 @@ def test_token_stats_stream_equals_batch_and_feeds_the_model(spark, tmp_path):
     # re-running the drained stream replays nothing: state untouched
     _drain()
     assert read_head(state) == head
+
+
+def test_doc_freq_stream_feeds_incremental_embeddings(spark, tmp_path):
+    from ocr_spark.operators import search as s_ops
+    from ocr_spark.streaming.search import doc_freq_stream_writer
+    from ocr_spark.streaming.sketch import read_head, read_sketch_state
+
+    src, docs = _write_batched(spark, tmp_path)
+    state = str(tmp_path / "df_state")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        doc_freq_stream_writer(stream, "text", state)
+        .option("checkpointLocation", str(tmp_path / "ck_df"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+    assert read_head(state)["last_batch_id"] >= 2
+
+    got = {r["tok"]: r["cnt"] for r in read_sketch_state(spark, state).collect()}
+    want = {r["tok"]: r["cnt"] for r in s_ops.doc_freq_stats(docs, "text").collect()}
+    assert got == want  # incl. the '' doc-count sentinel
+
+    # embeddings from the streamed state == batch hashed_tfidf
+    state_df = read_sketch_state(spark, state)
+    a = {
+        (r["doc_id"], r["bucket"]): round(r["weight"], 10)
+        for r in s_ops.hashed_tfidf_apply(docs, state_df, dim=64).collect()
+    }
+    b = {
+        (r["doc_id"], r["bucket"]): round(r["weight"], 10)
+        for r in s_ops.hashed_tfidf(docs, dim=64).collect()
+    }
+    assert a == b
