@@ -204,3 +204,36 @@ def test_doc_freq_stream_feeds_incremental_embeddings(spark, tmp_path):
         for r in s_ops.hashed_tfidf(docs, dim=64).collect()
     }
     assert a == b
+
+
+def test_bigram_score_stream_equals_batch(spark, tmp_path):
+    """The stupid-backoff scorer is the same stateless shape as the
+    unigram form: pairs are row-local, both artifact joins broadcast,
+    the per-doc agg completes within its micro-batch."""
+    src, docs = _write_batched(spark, tmp_path)
+    uni = quality.unigram_model(docs, vocab_size=150).cache()
+    bi = quality.bigram_model(docs, bigram_size=300).cache()
+    uni.count(), bi.count()  # fixed artifacts, built outside the stream
+
+    got_rows = []
+
+    def sink(batch_df, _bid):
+        got_rows.extend(
+            quality.score_with_bigram_model(batch_df, bi, uni).collect()
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bgscore"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+
+    want = quality.score_with_bigram_model(docs, bi, uni).collect()
+    g = {r["doc_id"]: (r["n_pairs"], round(r["logprob"], 9)) for r in got_rows}
+    w = {r["doc_id"]: (r["n_pairs"], round(r["logprob"], 9)) for r in want}
+    assert g == w and len(g) > 0
