@@ -768,3 +768,54 @@ def collocations(
             ).alias("pmi"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, n_tok, chunk): sliding token windows over each
+    document — the RAG / context-window chunking seat, complementing
+    :func:`pack_chunks` (which concatenates ACROSS docs; this splits
+    WITHIN docs, preserving doc identity for retrieval). ``stride``
+    defaults to ``chunk_tokens`` (disjoint chunks); a smaller stride
+    yields the standard overlapping windows (overlap = chunk − stride).
+    Trailing windows are kept short rather than dropped (every token
+    appears in ≥1 chunk).
+
+    Entirely row-local (filter/sequence/transform/slice HOFs over the
+    doc's own token array, then one explode) — zero shuffle at any
+    corpus size, and a stateless streaming drop-in for the same reason
+    the row-local quality signals are. chunk_id is the window ordinal,
+    derived from the transform index — no window function needed."""
+    stride = stride or chunk_tokens
+    if chunk_tokens < 1 or stride < 1 or stride > chunk_tokens:
+        raise ValueError("need 1 <= stride <= chunk_tokens")
+    toks = F.filter(
+        F.split(dedup.normalized(F.col(text_col)), " "), lambda x: x != ""
+    )
+    n = F.size(toks)
+    wins = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1, F.lit(stride)),
+            lambda s, j: F.struct(
+                j.cast("long").alias("chunk_id"),
+                F.slice(toks, s + 1, chunk_tokens).alias("_w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_id:bigint,_w:array<string>>>"))
+    return (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, F.explode_outer(wins).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c._w").cast("long").alias("n_tok"),
+            F.array_join("c._w", " ").alias("chunk"),
+        )
+    )

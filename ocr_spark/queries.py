@@ -4129,6 +4129,33 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
 """
 
 
+_CHUNK_TOKENS, _CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token-window chunking (32-token windows, stride 24 →
+    8-token overlap) — the RAG/context-window splitter; row-local HOFs
+    + one explode, zero shuffle."""
+    return quality.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST((i - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(w[i:i + {_CHUNK_TOKENS - 1}]) AS BIGINT) AS n_tok,
+       array_to_string(w[i:i + {_CHUNK_TOKENS - 1}], ' ') AS chunk
+FROM d, UNNEST(generate_series(1, len(w), {_CHUNK_STRIDE})) AS t(i)
+"""
+
+
 _SPLIT_T1 = curation._rate_threshold(0.8)
 _SPLIT_T2 = curation._rate_threshold(0.9)
 
@@ -4320,4 +4347,5 @@ CATALOG: dict[str, tuple] = {
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "text_ann_topk": (q_text_ann_topk, SQL_TEXT_ANN_TOPK),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
 }

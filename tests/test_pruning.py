@@ -375,3 +375,34 @@ def test_zorder_rejects_string_cluster_column(spark, tmp_path):
     _two_col_deliveries(spark, out, n=100)
     with _pytest.raises(ValueError, match="rank-orderable"):
         mf.compact(spark, out, cluster_by=["doc_id", "v"], zorder=True)
+
+
+def test_zorder_degenerate_columns_degrade_gracefully(spark, tmp_path):
+    """Constant and all-null z columns contribute no bits (tied/absent
+    quantile boundaries dedupe away) — the compaction still commits and
+    the surviving column still prunes."""
+    out = str(tmp_path / "t")
+    base = spark.range(0, 500)
+    for snap, off in (("s1", 0), ("s2", 1)):
+        d = base.select(
+            F.format_string("d%05d", F.col("id") * 2 + off).alias("doc_id"),
+            (F.col("id") * 2 + off).alias("v"),
+            F.lit(7).alias("const"),
+            F.lit(None).cast("double").alias("allnull"),
+            F.lit("payload").alias("text"),
+        )
+        mf.checkpointed_write(
+            spark, d, out, n_buckets=2, input_snapshot=snap, stats_cols=["v"]
+        )
+    res = mf.compact(
+        spark, out, key_col="doc_id", cluster_by=["const", "allnull", "v"],
+        zorder=True, max_file_rows=50,
+    )
+    assert res["epochs_compacted"] == 2
+    plan = mf.prune_plan(spark, out, [("v", "between", (100, 140))])
+    assert plan["total_files"] >= 10
+    assert plan["kept_files"] <= plan["total_files"] // 2  # v still prunes
+    got = mf.pruned_read(spark, out, [("v", "between", (100, 140))]).filter(
+        F.col("v").between(100, 140)
+    )
+    assert got.count() == 41

@@ -342,3 +342,35 @@ def test_collocations_pmi_hand_computed(spark):
     assert ny["c12"] == 3 and yn["c12"] == 2
     assert abs(ny["pmi"] - math.log((3 / 6) / ((3 / 8) * (3 / 8)))) < 1e-12
     assert abs(yn["pmi"] - math.log((2 / 6) / ((3 / 8) * (3 / 8)))) < 1e-12
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [("d1", text), ("d2", "a b"), ("d3", "")], "doc_id string, text string"
+    )
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tok"], r["chunk"])
+         for r in quality.chunk_documents(df, chunk_tokens=4, stride=3).collect())
+    )
+    # d1: starts 0,3,6,9 -> windows of 4 with 1-token overlap; tail short
+    assert rows == [
+        ("d1", 0, 4, "t0 t1 t2 t3"),
+        ("d1", 1, 4, "t3 t4 t5 t6"),
+        ("d1", 2, 4, "t6 t7 t8 t9"),
+        ("d1", 3, 1, "t9"),
+        ("d2", 0, 2, "a b"),          # short doc: one short chunk
+    ]                                  # empty doc emits nothing
+    # every token appears in at least one chunk
+    covered = set()
+    for _, _, _, c in rows[:4]:
+        covered.update(c.split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="stride"):
+        quality.chunk_documents(df, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        quality.chunk_documents(df, chunk_tokens=0)
