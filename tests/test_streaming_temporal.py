@@ -13,6 +13,28 @@ SF_DIR = "/root/testdata/sf0.001"
 EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
 
+class _few_state_partitions:
+    """Run a streaming query with 4 shuffle partitions instead of the
+    session's 32: stream-stream joins keep one state store PER shuffle
+    partition PER side, and each micro-batch checkpoints all of them —
+    at 32 partitions × several micro-batches that is hundreds of state
+    files whose fsync cost, not compute, made these tests exceed a
+    600 s drain under full-suite disk pressure (passes in ~20 s
+    isolated; the data is a few hundred rows). The partition count is
+    captured into the checkpoint at first start, so setting it around
+    `.start()` is sufficient and the session value is restored after."""
+
+    def __init__(self, spark, n=4):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def test_stream_asof_equals_batch(spark, tmp_path):
     src = str(tmp_path / "ev_src")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -86,15 +108,16 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     joined = interval_join_stream(
         ls, rs, on="user_id", before_sec=0, after_sec=1800, watermark="2 hours"
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("ssj")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(600), "streaming query did not drain in time"
+    with _few_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(900), "streaming query did not drain in time"
     got = {
         (r["user_id"], r["click_id"], r["buy_id"])
         for r in spark.sql("select * from ssj").collect()
@@ -162,15 +185,16 @@ def test_stream_stream_asof_equals_batch(spark, tmp_path):
     joined = asof_join_stream(
         ls, rs, on="user_id", right_cols=["dim_id"], watermark=delay
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("ssasof")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(600), "streaming query did not drain in time"
+    with _few_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssasof")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(900), "streaming query did not drain in time"
     got = {
         (r["user_id"], r["buy_id"], r["matched_ts"], r["dim_id"])
         for r in spark.sql("select * from ssasof where user_id >= 0").collect()
