@@ -794,9 +794,19 @@ def chunk_documents(
     stride = stride or chunk_tokens
     if chunk_tokens < 1 or stride < 1 or stride > chunk_tokens:
         raise ValueError("need 1 <= stride <= chunk_tokens")
-    toks = F.filter(
-        F.split(dedup.normalized(F.col(text_col)), " "), lambda x: x != ""
+    # the token array is STAGED as a projected column before the window
+    # transform: an expression referenced inside a HOF lambda re-evaluates
+    # per array ELEMENT (the measured 10× shingle trap), so inlining the
+    # split/filter here would re-tokenize the document once per window —
+    # ~n/stride times. As a multi-referenced attribute (size + both
+    # lambdas) CollapseProject leaves the staging projection alone.
+    staged = dedup._ensure_parallelism(documents).select(
+        id_col,
+        F.filter(
+            F.split(dedup.normalized(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("_toks"),
     )
+    toks = F.col("_toks")
     n = F.size(toks)
     wins = F.when(
         n > 0,
@@ -809,8 +819,7 @@ def chunk_documents(
         ),
     ).otherwise(F.array().cast("array<struct<chunk_id:bigint,_w:array<string>>>"))
     return (
-        dedup._ensure_parallelism(documents)
-        .select(id_col, F.explode_outer(wins).alias("c"))
+        staged.select(id_col, F.explode_outer(wins).alias("c"))
         .filter(F.col("c").isNotNull())
         .select(
             id_col,
