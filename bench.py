@@ -86,10 +86,18 @@ EXTRA = [
     "quality_checks",
     "hard_negatives",
     "knn_label_vote",
-    # round-4: clustered table scans, bigram LM, hashed embeddings
+    # round-4: clustered table scans, bigram LM, hashed embeddings,
+    # entropy/PMI/outlier quality signals, text->vector->ANN, chunking
     "clustered_scan",
     "bigram_score",
     "hashed_tfidf",
+    "token_entropy",
+    "collocations",
+    "mad_outliers",
+    "text_ann_topk",
+    "chunk_documents",
+    "split_counts",
+    "skew_profile",
 ]
 
 
