@@ -1862,11 +1862,22 @@ def q_extraction_pipeline(spark, sf_dir):
     The DTO's array columns (state_validations, document_urls) travel as
     JSON strings: the driver's pandas canonicalizer cannot sort/hash list
     cells (the r02 red row), and JSON is the same canonical form the spans
-    golden already uses."""
+    golden already uses.  Likewise the money columns travel as double and
+    the date columns as yyyy-MM-dd strings (the r04 red rows): the
+    driver's pandas canonicalizer renders Spark ``Decimal('600.00')`` /
+    ``datetime.date`` differently from DuckDB-read-parquet float64 /
+    datetime64, so DecimalType/DateType can never cross the driver seam.
+    The REAL invoices table keeps DecimalType(10,2)/DateType (SURVEY
+    §1.2) — only this catalog wrapper canonicalizes."""
     inv = _pipeline_frames(spark).invoices
-    return inv.withColumn(
+    out = inv.withColumn(
         "state_validations", F.to_json("state_validations")
     ).withColumn("document_urls", F.to_json("document_urls"))
+    for c in ("excluding_taxes", "taxes", "including_taxes", "amount_due"):
+        out = out.withColumn(c, F.col(c).cast("double"))
+    for c in ("invoice_date", "due_date"):
+        out = out.withColumn(c, F.date_format(c, "yyyy-MM-dd"))
+    return out
 
 
 SQL_ML_TRAINING_DATA = (
@@ -1894,8 +1905,12 @@ def q_invoice_goals(spark, sf_dir):
     a 0.00 lattice default creates NO goal), amount = including_taxes.
     The last flagship output to get a golden-pinned row (VERDICT r03
     missing #3); derived from the same shared FIELDS pass as the other
-    three flagship tables."""
-    return _pipeline_frames(spark).invoice_goals
+    three flagship tables.  ``amount`` is cast to double here (wrapper
+    only — the table keeps DecimalType): Spark Decimal vs DuckDB float64
+    canonicalize to different hashes at the driver seam (r04 red row)."""
+    return _pipeline_frames(spark).invoice_goals.withColumn(
+        "amount", F.col("amount").cast("double")
+    )
 
 
 _OCR_WORDS_GOLDEN = f"{_FIXTURES_DIR}/ocr_words_golden.parquet"
