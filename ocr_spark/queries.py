@@ -4230,74 +4230,108 @@ CATALOG: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     #
     # ORDER MATTERS: the correctness driver checks the FIRST 50 entries
-    # (dict order). Positions 1-50 carry the highest-value rows — the
-    # flagship extraction family, the ANN family, the table-format
-    # (warehouse-semantics) rows, the media rows, and the core dedup /
-    # curation / quality operators. Same-SQL twins (sessionize_scalable,
-    # *_local forms) and low-information TPC fillers sit below 50; all
-    # 105 rows stay under the identical pytest oracle contract
+    # (dict order).  Round-5 rotation (VERDICT r04 next-steps #4): the
+    # flagship six stay pinned at the top every round; the other 44
+    # window slots go to the 32 rows that had NEVER appeared in any
+    # CORRECTNESS_r*.json (sketch, search, temporal, maintenance,
+    # text-signal, twin families) plus 12 re-confirmation slots for
+    # once-green representatives of the ANN / table-format / dedup /
+    # curation families.  Rows below 50 are all driver-green from
+    # r03/r04 and stay under the identical pytest oracle contract
     # (tests/test_queries_oracle.py) regardless of position.
-    #
-    # -- flagship extraction family (reference: src/api/routes.py:43-118)
+    # -- flagship extraction family (PINNED every round; reference: src/api/routes.py:43-118)
     "extraction_pipeline": (q_extraction_pipeline, SQL_EXTRACTION_PIPELINE),
     "extraction_spans": (q_extraction_spans, SQL_EXTRACTION_SPANS),
     "ml_training_data": (q_ml_training_data, SQL_ML_TRAINING_DATA),
     "invoice_goals": (q_invoice_goals, SQL_INVOICE_GOALS),
     "ocr_words": (q_ocr_words, SQL_OCR_WORDS),
     "ocr_word_confidence": (q_ocr_word_confidence, SQL_OCR_WORD_CONFIDENCE),
-    # -- ANN / embedding family
+    # -- r05 rotation: sketch family (first driver check)
+    "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT_TOKENS),
+    "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
+    "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
+    "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
+    "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
+    # -- r05 rotation: text signals / LM (first driver check)
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
+    "bigram_score": (q_bigram_score, SQL_BIGRAM_SCORE),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "hashed_tfidf": (q_hashed_tfidf, SQL_HASHED_TFIDF),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    # -- r05 rotation: search / text-ANN (first driver check)
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "text_ann_topk": (q_text_ann_topk, SQL_TEXT_ANN_TOPK),
+    # -- r05 rotation: temporal / relational shapes (first driver check)
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
+    "pivot_lang_tokens": (q_pivot_lang_tokens, SQL_PIVOT_LANG_TOKENS),
+    "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
+    "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    # -- r05 rotation: maintenance / ops (first driver check)
+    "clustered_scan": (q_clustered_scan, SQL_CLUSTERED_SCAN),
+    "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
+    "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    # -- r05 rotation: sampling + equivalence twins (first driver check)
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "repetition_stats_local": (q_repetition_stats_local, SQL_REPETITION_STATS),
+    "dedup_lines_local": (q_dedup_lines_local, SQL_DEDUP_LINES),
+    "pack_chunks_shuffled": (q_pack_chunks_shuffled, SQL_PACK_CHUNKS_SHUFFLED),
+    # -- re-confirmation slots: once-green family representatives
+    "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN_TOPK),
+    "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),
+    "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
+    "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
+    "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
+    "bloom_point_lookup": (q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
+    "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    # ---------------- below the driver's 50-row window ----------------
+    # (all driver-green in r03/r04; still fully oracle-verified)
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
-    "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN_TOPK),
-    "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
-    "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
     "semantic_keep_one": (q_semantic_keep_one, SQL_SEMANTIC_KEEP_ONE),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
-    # -- table format (warehouse semantics)
-    "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "deleted_read": (q_deleted_read, SQL_DELETED_READ),
-    "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
-    "bloom_point_lookup": (q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP),
-    # -- multimodal columns
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
-    # -- dedup core
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
-    "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
     "near_dup_keep_one": (q_near_dup_keep_one, SQL_NEAR_DUP_KEEP_ONE),
     "lsh_index_pairs": (q_lsh_index_pairs, SQL_LSH_INDEX_PAIRS),
-    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_match_pairs": (q_winnow_match_pairs, SQL_WINNOW_MATCH_PAIRS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embed_cosine_dups": (q_embed_cosine_dups, SQL_EMBED_COSINE_DUPS),
-    # -- curation
-    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "contamination_pairs": (q_contamination_pairs, SQL_CONTAMINATION_PAIRS),
     "decontaminated_ids": (q_decontaminated_ids, SQL_DECONTAMINATED_IDS),
     "pii_stats": (q_pii_stats, SQL_PII_STATS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
-    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    # -- quality / packing
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
-    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    # ---------------- below the driver's 50-row window ----------------
-    # (still fully oracle-verified by tests/test_queries_oracle.py)
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
@@ -4331,36 +4365,4 @@ CATALOG: dict[str, tuple] = {
     "amount_lattice": (q_amount_lattice, SQL_AMOUNT_LATTICE),
     "textstats": (q_textstats, SQL_TEXTSTATS),
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
-    "repetition_stats_local": (q_repetition_stats_local, SQL_REPETITION_STATS),
-    "dedup_lines_local": (q_dedup_lines_local, SQL_DEDUP_LINES),
-    "pack_chunks_shuffled": (q_pack_chunks_shuffled, SQL_PACK_CHUNKS_SHUFFLED),
-    "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT_TOKENS),
-    "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
-    "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
-    "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
-    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
-    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
-    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
-    "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
-    "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
-    "funnel": (q_funnel, SQL_FUNNEL),
-    "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
-    "pivot_lang_tokens": (q_pivot_lang_tokens, SQL_PIVOT_LANG_TOKENS),
-    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
-    "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
-    "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
-    "clustered_scan": (q_clustered_scan, SQL_CLUSTERED_SCAN),
-    "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
-    "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
-    "bigram_score": (q_bigram_score, SQL_BIGRAM_SCORE),
-    "hashed_tfidf": (q_hashed_tfidf, SQL_HASHED_TFIDF),
-    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
-    "collocations": (q_collocations, SQL_COLLOCATIONS),
-    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
-    "text_ann_topk": (q_text_ann_topk, SQL_TEXT_ANN_TOPK),
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
 }
