@@ -589,8 +589,18 @@ def bigram_pairs(
     the bigram events a 2-gram LM counts and scores. The pair array is
     built with JVM HOFs (slice + transform with the element-index lambda
     — two params IS (element, index) in pyspark, used deliberately here)
-    and exploded; a doc with < 2 tokens emits nothing."""
-    c = F.split(dedup.normalized(F.col(text_col)), " ")
+    and exploded; a doc with < 2 tokens emits nothing.
+
+    The token array is STAGED as a projected column before the pair
+    transform (the chunk_documents pattern): the lambda's
+    ``element_at(c, i+2)`` reference would otherwise re-evaluate the
+    whole normalize+split expression once per array ELEMENT — the
+    measured ~10× HOF re-evaluation trap this file documents."""
+    staged = dedup._ensure_parallelism(documents).select(
+        id_col,
+        F.split(dedup.normalized(F.col(text_col)), " ").alias("_toks"),
+    )
+    c = F.col("_toks")
     pairs = F.transform(
         F.slice(c, 1, F.greatest(F.size(c) - 1, F.lit(0))),
         lambda t, i: F.struct(
@@ -598,8 +608,7 @@ def bigram_pairs(
         ),
     )
     return (
-        dedup._ensure_parallelism(documents)
-        .select(id_col, pairs.alias("_p"))
+        staged.select(id_col, pairs.alias("_p"))
         .select(id_col, F.explode_outer("_p").alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .filter(
@@ -741,15 +750,19 @@ def collocations(
     SET (count threshold only, no top-N), so the result is deterministic
     without any ordering contract — rare-pair noise is excluded by the
     exact integer ``min_count`` gate, not a float cut."""
-    bc = (
+    counts = (
         bigram_pairs(corpus, text_col)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= min_count)
     )
+    bc = counts.filter(F.col("c12") >= min_count)
     uc = token_counts(corpus, text_col)
-    # N_pairs is the total over ALL pairs, not the thresholded set
-    np_tot = bigram_pairs(corpus, text_col).agg(F.count(F.lit(1)).alias("_np"))
+    # N_pairs is the total over ALL pairs, not the thresholded set —
+    # derived from the UNFILTERED grouped counts (Σ c12), so the pairs
+    # explode runs once: both consumers share the identical
+    # groupBy(w1,w2) Exchange and Spark reuses the shuffle
+    # (ReusedExchange) instead of re-tokenizing the corpus.
+    np_tot = counts.agg(F.sum("c12").alias("_np"))
     nt_tot = uc.agg(F.sum("cnt").alias("_nt"))
     u1 = F.broadcast(uc.select(F.col("tok").alias("w1"), F.col("cnt").alias("_c1")))
     u2 = F.broadcast(uc.select(F.col("tok").alias("w2"), F.col("cnt").alias("_c2")))

@@ -4129,12 +4129,30 @@ wn AS (SELECT doc_id, bucket, raw / l2 AS weight FROM w JOIN nrm USING (doc_id))
 
 SQL_TEXT_ANN_TOPK = f"""
 WITH {_SQL_HTFIDF_SPARSE.format(norm=_SQL_NORM)},
-sims AS (
+qs AS (SELECT * FROM wn WHERE doc_id IN {_TEXT_ANN_QUERIES!r}),
+bucket_sims AS (
   SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
-         {_SQL_FIX6.format(x="sum(q.weight * c.weight)")} AS sim
-  FROM (SELECT * FROM wn WHERE doc_id IN {_TEXT_ANN_QUERIES!r}) q
+         sum(q.weight * c.weight) AS sim_raw
+  FROM qs q
   JOIN wn c ON q.bucket = c.bucket AND c.doc_id <> q.doc_id
   GROUP BY 1, 2
+),
+-- brute_force_topk ranks EVERY vectorized non-self doc and pads top-5
+-- with zero-similarity neighbors (tie-break by id); scoring only
+-- bucket-overlapping candidates would go red the first time a query has
+-- < 5 overlapping neighbors. Pad from the docs that HAVE vectors (wn),
+-- matching the dense-scatter candidate set exactly.
+sims AS (
+  SELECT a.query_id, a.neighbor_id,
+         {_SQL_FIX6.format(x="coalesce(b.sim_raw, 0)")} AS sim
+  FROM (
+    SELECT q.query_id, d.doc_id AS neighbor_id
+    FROM (SELECT DISTINCT doc_id AS query_id FROM qs) q
+    CROSS JOIN (SELECT DISTINCT doc_id FROM wn) d
+    WHERE d.doc_id <> q.query_id
+  ) a
+  LEFT JOIN bucket_sims b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
   SELECT query_id, neighbor_id, sim,

@@ -544,7 +544,17 @@ def _with_zorder_key(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame
     Z columns must be numeric, timestamp, or date (rank order is what
     the curve preserves; hashing strings would destroy the range
     locality that makes pruning work) — strings raise.
+
+    The interleaved key must fit a signed 64-bit long: ``bits * ncols``
+    is clamped to 63 (JVM shift amounts wrap mod 64, which would
+    silently scramble the sort order — clustering quality, not
+    correctness: zone maps are measured from file contents so pruning
+    stays superset-safe either way). With many cluster columns each
+    column simply gets fewer bits (``63 // ncols``), mirroring how
+    Delta's z-order degrades.
     """
+    if bits * len(cols) > 63:
+        bits = max(1, 63 // len(cols))
     dtypes = dict(df.dtypes)
     proxies: list = []
     for c in cols:

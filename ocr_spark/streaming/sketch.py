@@ -71,7 +71,12 @@ def _merge_batch(
         prev = spark.read.parquet(head["version"])
         sk = prev.unionByName(sk).groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
     vdir = os.path.join(state_dir, "versions", f"v{batch_id}")
-    sk.coalesce(n_files).write.mode("overwrite").parquet(vdir)
+    # repartition BY KEY, not coalesce: coalesce can only reduce the
+    # partition count, and AQE typically leaves the small merge shuffle
+    # at 1 partition — so a raised n_files knob would silently still
+    # write one file. Keyed repartition makes the state layout follow
+    # the knob and keeps each key's rows in one file.
+    sk.repartition(n_files, *keys).write.mode("overwrite").parquet(vdir)
     os.makedirs(state_dir, exist_ok=True)
     tmp = _head_path(state_dir) + ".tmp"
     with open(tmp, "w") as f:
