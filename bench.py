@@ -233,6 +233,49 @@ def run_table_lifecycle(spark, sf_dir: str) -> dict:
     }
 
 
+# Healthy-window canary medians, measured across the round-3/4 healthy
+# runs recorded in BENCH/BASELINE.md (local[32] and local[16] agree to
+# ~10 %): host ≈ 0.6 s, py ≈ 3.0 s, io ≈ 1.5 s.  A start canary above
+# 1.5x its median means the host window is degraded — every query would
+# inflate proportionally (the committed BENCH_r04.json embedded a ~2.2x
+# window and read as a fake +40 % regression).  The gate retries after a
+# cooldown before running, and stamps "degraded_window" into the JSON if
+# the window never recovers (or turns during the run).
+HEALTHY_CANARY_MEDIANS = {"host": 0.62, "py": 3.0, "io": 1.5}
+CANARY_DEGRADED_FACTOR = 1.5
+
+
+def measure_canaries(spark, io_dir: str) -> dict[str, float]:
+    """The three fixed host-health probes (JVM arithmetic, Arrow+pandas,
+    parquet scan) — see the inline rationale where each was introduced."""
+    t0 = time.monotonic()
+    spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    host = round(time.monotonic() - t0, 3)
+
+    import pandas as _pd
+
+    def _burn(it):
+        for b in it:
+            yield _pd.DataFrame({"x": [float(b["id"].map(hash).sum())]})
+
+    t0 = time.monotonic()
+    spark.range(2_000_000).mapInPandas(_burn, "x double").collect()
+    py = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    spark.read.parquet(io_dir).selectExpr("sum(length(doc_id))").collect()
+    io = round(time.monotonic() - t0, 3)
+    return {"host": host, "py": py, "io": io}
+
+
+def canaries_degraded(c: dict[str, float]) -> list[str]:
+    return [
+        k
+        for k, med in HEALTHY_CANARY_MEDIANS.items()
+        if c[k] > med * CANARY_DEGRADED_FACTOR
+    ]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--flagship-only", action="store_true")
@@ -242,6 +285,15 @@ def main() -> None:
     # 3, not 2: this VM's run-to-run swing is ±30 % (frequency scaling /
     # neighbor load); best-of-3 keeps the recorded number near steady state
     ap.add_argument("--repeat", type=int, default=3, help="runs per query; best-of timing")
+    ap.add_argument(
+        "--canary-retries", type=int, default=2,
+        help="re-probe this many times (after a cooldown) when the start "
+        "canaries read degraded; 0 disables waiting",
+    )
+    ap.add_argument(
+        "--canary-cooldown-sec", type=float, default=90.0,
+        help="sleep between degraded-window re-probes",
+    )
     args = ap.parse_args()
 
     from ocr_spark.queries import CATALOG
@@ -263,36 +315,32 @@ def main() -> None:
         # warm the JVM + python workers once so timings measure the engine
         spark.range(1000).selectExpr("sum(id)").collect()
 
-        # host-health canary: fixed pure-JVM work, recorded in the JSON.
-        # This VM has degraded windows where EVERYTHING (incl. JVM-only
-        # queries) runs 3-5x slower; the canary lets a reader tell "slow
-        # engine" from "slow host" when comparing rounds (healthy local[32]
-        # ≈ 0.3-0.6 s for this).
-        t0 = time.monotonic()
-        spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
-        host_canary_sec = round(time.monotonic() - t0, 3)
-
-        # python-path canary: fixed Arrow+pandas work — degraded windows
-        # hit the python workers harder than raw JVM arithmetic (memory
-        # bandwidth), so record both (healthy local[32] ≈ 1-2 s).
-        import pandas as _pd
-
-        def _burn(it):
-            for b in it:
-                yield _pd.DataFrame({"x": [float(b["id"].map(hash).sum())]})
-
-        t0 = time.monotonic()
-        spark.range(2_000_000).mapInPandas(_burn, "x double").collect()
-        py_canary_sec = round(time.monotonic() - t0, 3)
-
-        # IO canary: fixed parquet list+scan (the synth corpus documents
-        # dir). CPU canaries miss IO-degraded windows — observed warm
-        # LSH-index probes at 5.2 s and 8.9 s under IDENTICAL healthy CPU
-        # canaries; this pins down which kind of slow the host is.
+        # host-health canaries: fixed pure-JVM / Arrow+pandas / parquet-IO
+        # probes, recorded in the JSON.  This VM has degraded windows where
+        # EVERYTHING runs 2-5x slower (and IO-only windows invisible to CPU
+        # probes); the trio lets a reader tell "slow engine" from "slow
+        # host" when comparing rounds.  Healthy medians + the 1.5x gate are
+        # defined at HEALTHY_CANARY_MEDIANS; a degraded start window is
+        # retried after a cooldown rather than silently embedded in the
+        # committed artifact (the r04 lesson).
         io_dir = os.path.join(synth_dir(n_docs), "documents")
-        t0 = time.monotonic()
-        spark.read.parquet(io_dir).selectExpr("sum(length(doc_id))").collect()
-        io_canary_sec = round(time.monotonic() - t0, 3)
+        canaries = measure_canaries(spark, io_dir)
+        for attempt in range(args.canary_retries):
+            bad = canaries_degraded(canaries)
+            if not bad:
+                break
+            print(
+                f"degraded start window (canaries {canaries}, over on "
+                f"{bad}); cooldown {args.canary_cooldown_sec}s then "
+                f"re-probe ({attempt + 1}/{args.canary_retries})",
+                file=sys.stderr,
+            )
+            time.sleep(args.canary_cooldown_sec)
+            canaries = measure_canaries(spark, io_dir)
+        start_degraded = canaries_degraded(canaries)
+        host_canary_sec = canaries["host"]
+        py_canary_sec = canaries["py"]
+        io_canary_sec = canaries["io"]
 
         flagship = run_flagship(spark, n_docs, repeat=args.repeat)
         queries: dict[str, float] = {"extraction_pipeline": flagship["sec"]}
@@ -330,6 +378,10 @@ def main() -> None:
         t0 = time.monotonic()
         spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
         host_canary_end_sec = round(time.monotonic() - t0, 3)
+        end_degraded = (
+            host_canary_end_sec
+            > HEALTHY_CANARY_MEDIANS["host"] * CANARY_DEGRADED_FACTOR
+        )
 
         total = round(sum(queries.values()), 3)
         print(
@@ -352,6 +404,12 @@ def main() -> None:
                     "py_canary_sec": py_canary_sec,
                     "io_canary_sec": io_canary_sec,
                     "host_canary_end_sec": host_canary_end_sec,
+                    # True when the host window was degraded at start
+                    # (despite --canary-retries re-probes) or turned
+                    # degraded by the end probe: the timings in this
+                    # artifact then overstate engine cost and should not
+                    # be compared across rounds without canary scaling.
+                    "degraded_window": bool(start_degraded) or end_degraded,
                 }
             )
         )
