@@ -91,6 +91,8 @@ EXTRA = [
     "clustered_scan",
     "bigram_score",
     "hashed_tfidf",
+    # round-5: embed a delivery against the frozen doc-freq artifact
+    "tfidf_incremental",
     "token_entropy",
     "collocations",
     "mad_outliers",

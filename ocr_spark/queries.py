@@ -4087,6 +4087,30 @@ FROM w JOIN nrm USING (doc_id)
 """
 
 
+def q_tfidf_incremental(spark, sf_dir):
+    """The incremental-embedding loop's batch-expressible face (VERDICT
+    r04 next-step #6): embed ONLY a "new delivery" half of the corpus
+    (md5-banded, growth-stable) against the FROZEN doc-frequency
+    artifact — the table ``doc_freq_stream_writer`` maintains on the
+    stream — via :func:`search.hashed_tfidf_apply`; the oracle rebuilds
+    the same embeddings from scratch over the full corpus and restricts
+    to the delivery.  Equality is what makes embeddings a maintained
+    table: new docs embed without a corpus rescan, byte-for-byte
+    consistent with a full rebuild (stream-built-state equivalence is
+    proven in tests/test_streaming_quality.py
+    ::test_incremental_embedding_loop_end_to_end)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = search.doc_freq_stats(docs)
+    arrivals = docs.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    out = search.hashed_tfidf_apply(arrivals, stats, dim=_HTFIDF_DIM)
+    return out.select("doc_id", "bucket", fix6(F.col("weight")).alias("weight"))
+
+
 _TEXT_ANN_QUERIES = ("0", "1", "2")
 
 
@@ -4124,6 +4148,18 @@ w AS (
 ),
 nrm AS (SELECT doc_id, sqrt(sum(raw * raw)) AS l2 FROM w GROUP BY 1),
 wn AS (SELECT doc_id, bucket, raw / l2 AS weight FROM w JOIN nrm USING (doc_id))
+"""
+
+
+# Twin for q_tfidf_incremental (defined above the text-ANN family): the
+# from-scratch rebuild over the FULL corpus (df/N from everything),
+# restricted to the md5-banded "new delivery" — the apply path must
+# equal exactly this.
+SQL_TFIDF_INCREMENTAL = f"""
+WITH {_SQL_HTFIDF_SPARSE.format(norm=_SQL_NORM)}
+SELECT doc_id, bucket, {_SQL_FIX6.format(x="weight")} AS weight
+FROM wn
+WHERE substring(md5('inc:' || doc_id), 1, 1) < '8'
 """
 
 
@@ -4405,6 +4441,7 @@ CATALOG: dict[str, tuple] = {
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "hashed_tfidf": (q_hashed_tfidf, SQL_HASHED_TFIDF),
+    "tfidf_incremental": (q_tfidf_incremental, SQL_TFIDF_INCREMENTAL),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     # -- r05 rotation: search / text-ANN (first driver check)
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

@@ -237,3 +237,45 @@ def test_bigram_score_stream_equals_batch(spark, tmp_path):
     g = {r["doc_id"]: (r["n_pairs"], round(r["logprob"], 9)) for r in got_rows}
     w = {r["doc_id"]: (r["n_pairs"], round(r["logprob"], 9)) for r in want}
     assert g == w and len(g) > 0
+
+
+def test_incremental_embedding_loop_end_to_end(spark, tmp_path):
+    """VERDICT r04 next-step #6: the embeddings-as-maintained-table loop.
+    The doc-frequency state absorbs deliveries on the stream; when a new
+    delivery lands, ONLY its documents are embedded (hashed_tfidf_apply
+    against the frozen state) — and the result equals the full batch
+    rebuild over everything delivered so far, restricted to those docs.
+    No corpus rescan, identical embeddings: that equality is what makes
+    the incremental path a drop-in for the rebuild."""
+    from ocr_spark.operators import search as s_ops
+    from ocr_spark.streaming.search import doc_freq_stream_writer
+    from ocr_spark.streaming.sketch import read_sketch_state
+
+    src, docs = _write_batched(spark, tmp_path)
+    state = str(tmp_path / "df_state_e2e")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        doc_freq_stream_writer(stream, "text", state)
+        .option("checkpointLocation", str(tmp_path / "ck_df_e2e"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+
+    # "the new delivery": one of the five streamed file-batches
+    arrivals = docs.filter(F.col("doc_id") % 5 == 4)
+    assert arrivals.count() > 0
+    state_df = read_sketch_state(spark, state)
+    inc = {
+        (r["doc_id"], r["bucket"]): round(r["weight"], 10)
+        for r in s_ops.hashed_tfidf_apply(arrivals, state_df, dim=64).collect()
+    }
+    rebuild = {
+        (r["doc_id"], r["bucket"]): round(r["weight"], 10)
+        for r in s_ops.hashed_tfidf(docs, dim=64)
+        .join(arrivals.select("doc_id"), "doc_id")
+        .collect()
+    }
+    assert inc == rebuild
