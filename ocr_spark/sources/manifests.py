@@ -559,8 +559,13 @@ def _with_zorder_key(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame
     proxies: list = []
     for c in cols:
         dt = dtypes[c]
-        if dt in ("timestamp", "timestamp_ntz"):
+        if dt == "timestamp":
             proxies.append(F.col(c).cast("double"))
+        elif dt == "timestamp_ntz":
+            # NTZ has no direct numeric cast; route through LTZ (session
+            # tz offset is a constant shift — rank order, which is all the
+            # equi-depth bucketing consumes, is preserved)
+            proxies.append(F.col(c).cast("timestamp_ltz").cast("double"))
         elif dt == "date":
             proxies.append(F.col(c).cast("timestamp").cast("double"))
         elif dt in ("string", "binary", "boolean"):

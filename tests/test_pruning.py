@@ -406,3 +406,35 @@ def test_zorder_degenerate_columns_degrade_gracefully(spark, tmp_path):
         F.col("v").between(100, 140)
     )
     assert got.count() == 41
+
+
+def test_zorder_accepts_timestamp_ntz_cluster_column(spark, tmp_path):
+    """Parquet timestamps read back as timestamp_ntz, which has no direct
+    numeric cast in Spark 4 — the z-key proxy must route through
+    timestamp_ltz (rank-preserving) instead of failing analysis
+    (regression: tools/zorder_bench.py on the sf0.1 orders table)."""
+    out = str(tmp_path / "tntz")
+    d = (
+        spark.range(0, 200)
+        .select(
+            F.format_string("d%05d", F.col("id")).alias("doc_id"),
+            F.col("id").alias("v"),
+            F.to_timestamp(
+                F.lit("2024-01-01").cast("date").cast("timestamp")
+                + F.make_interval(days=(F.col("id") * 541) % 200)
+            ).cast("timestamp_ntz").alias("ts"),
+        )
+        .withColumn("text", F.lit("payload"))
+    )
+    mf.checkpointed_write(
+        spark, d, out, n_buckets=2, input_snapshot="s1", stats_cols=["v", "ts"]
+    )
+    mf.compact(
+        spark, out, key_col="doc_id", cluster_by=["v", "ts"], zorder=True,
+        max_file_rows=25, min_epochs=1,
+    )
+    plan = mf.prune_plan(
+        spark, out, [("ts", "between", ("2024-02-01", "2024-03-01"))]
+    )
+    assert plan["total_files"] >= 8
+    assert plan["kept_files"] < plan["total_files"]  # ts actually prunes
