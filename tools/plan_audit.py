@@ -54,6 +54,11 @@ CROSS_OK = {
     # text_ann_topk composes hashed_tfidf's one-row N attach with
     # embed_topk's broadcast brute-force theta-join
     "text_ann_topk",
+    # round 5: the same hashed_tfidf one-row doc-count (N) attach —
+    # tfidf_incremental inside hashed_tfidf_apply, text_ann_topk_ivf
+    # inside the vector build feeding the IVF probe (the probe itself
+    # is an equi-join on list_id)
+    "tfidf_incremental", "text_ann_topk_ivf",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
