@@ -4414,8 +4414,9 @@ CATALOG: dict[str, tuple] = {
     # flagship six stay pinned at the top every round; the other 44
     # window slots go to the 32 rows that had NEVER appeared in any
     # CORRECTNESS_r*.json (sketch, search, temporal, maintenance,
-    # text-signal, twin families) plus 12 re-confirmation slots for
-    # once-green representatives of the ANN / table-format / dedup /
+    # text-signal, twin families), the two NEW round-5 rows
+    # (tfidf_incremental, text_ann_topk_ivf), and re-confirmation slots
+    # for once-green representatives of the ANN / table-format / dedup /
     # curation families.  Rows below 50 are all driver-green from
     # r03/r04 and stay under the identical pytest oracle contract
     # (tests/test_queries_oracle.py) regardless of position.
