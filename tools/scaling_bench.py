@@ -170,8 +170,17 @@ def main() -> None:
     ]
     out = REPO / "BENCH"
     out.mkdir(exist_ok=True)
-    (out / "BASELINE.md").write_text("\n".join(lines))
-    print(f"wrote {out / 'BASELINE.md'}")
+    target = out / "BASELINE.md"
+    # the per-round narrative sections ("## Round ...") are appended by
+    # hand below the generated block — preserve them across regeneration
+    tail = ""
+    if target.exists():
+        prev = target.read_text()
+        idx = prev.find("\n## Round")
+        if idx != -1:
+            tail = prev[idx:]
+    target.write_text("\n".join(lines) + tail)
+    print(f"wrote {target}")
     for k, v in results.items():
         print(k, v)
 
