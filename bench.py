@@ -78,6 +78,8 @@ EXTRA = [
     # round-3 continuation: hybrid retrieval, substring-level dedup, DSIR
     "hybrid_topk",
     "substring_dedup",
+    # round-5 (late): maximal duplicated-run spans (suffix-array-style report)
+    "dup_spans",
     "dsir_select",
     "cap_per_source",
     "time_travel",

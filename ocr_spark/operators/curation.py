@@ -328,6 +328,111 @@ def substring_dedup(
     )
 
 
+def dup_spans(
+    documents: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated-run extraction: the per-document span report a
+    suffix array would produce for duplicate runs ≥ n tokens (Lee et al.
+    2022, the ExactSubstr inspection output), from fixed-width windows.
+    Every start position whose word n-gram occurs ≥ min_df times in the
+    corpus is duplicated; the covered intervals [pos, pos+n-1] merge
+    (overlapping or touching) into maximal spans. Any duplicated run of
+    length m ≥ n yields duplicated windows at each of its m-n+1 starts,
+    so the merged span recovers the run's exact extent — the same spans
+    the suffix-array method reports at threshold n, without the global
+    suffix sort.
+
+    Returns (doc_id, span_start, span_end, span_len, span_text), one
+    row per maximal duplicated run, positions 0-based inclusive over the
+    canonical normalized token stream.
+
+    Shuffle shape at scale — identical to :func:`substring_dedup`: the
+    occurrence stream carries only (doc_id, pos, 32-B md5), never text;
+    (1) groupBy window-hash keeps the ≥ min_df hashes, (2) a hash-keyed
+    join marks duplicated starts, (3) the (duplicate-volume-sized) start
+    set re-keys by doc. The interval merge itself is ROW-LOCAL — a fold
+    over the doc's sorted start array — so per-doc cost is bounded by
+    the doc's own length and the token stream never shuffles.
+    """
+    documents = dedup._ensure_parallelism(documents)
+    toks = documents.select(
+        id_col, dedup.normalized(F.col(text_col)).alias("_norm")
+    ).select(id_col, F.split(F.col("_norm"), " ").alias("_w"))
+    whashes = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        toks.select(id_col, whashes.alias("_wh"))
+        .select(id_col, F.posexplode_outer("_wh").alias("pos", "wh"))
+        .filter(F.col("wh").isNotNull())
+    )
+    dup_h = (
+        occ.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_df)
+        .select("wh")
+    )
+    starts = (
+        occ.join(dup_h, on="wh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("_ps"))
+    )
+    # row-local gaps-and-islands: fold the sorted starts into maximal
+    # [s, e] intervals. With starts ascending, the open interval's end is
+    # always last_start + n - 1, so "p extends it" ⇔ p ≤ last.e + 1.
+    merged = F.aggregate(
+        F.col("_ps"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["e"] + F.lit(1)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], p + F.lit(n - 1)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(p.alias("s"), (p + F.lit(n - 1)).alias("e"))),
+            )
+        ),
+    )
+    spans = starts.select(id_col, F.explode(merged).alias("_sp")).select(
+        id_col,
+        F.col("_sp.s").alias("span_start"),
+        F.col("_sp.e").alias("span_end"),
+    )
+    return spans.join(toks, on=id_col).select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
+        F.array_join(
+            F.slice(
+                F.col("_w"),
+                F.col("span_start") + F.lit(1),
+                F.col("span_end") - F.col("span_start") + F.lit(1),
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+
+
 def contamination_pairs(
     documents: DataFrame,
     bench: DataFrame,

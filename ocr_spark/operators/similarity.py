@@ -90,7 +90,7 @@ def signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Sign pattern of the vector against n_planes fixed hyperplanes."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.lit([float(v) for v in _hyperplane(dim, p)])
         bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -132,7 +132,11 @@ def _centroid_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Col
     return F.array(
         *[
             F.struct(
-                (-cosine(vec, F.array(*[F.lit(v) for v in cvec]))).alias("neg"),
+                # one array literal per centroid (not dim separate Literal
+                # nodes): at 256 dims the per-element form costs seconds of
+                # driver analysis/codegen PER PLAN (measured 4.7s -> sub-second
+                # for 8x256 IVF training on cached input)
+                (-cosine(vec, F.lit([float(v) for v in cvec]))).alias("neg"),
                 F.lit(cid).alias("cid"),
             )
             for cid, cvec in centroids
@@ -658,7 +662,7 @@ def _normalized_vec(df: DataFrame, vec_col: str, out_col: str = "_nv") -> DataFr
 
 
 def _l2_sq_lit(a: Column, b_vals: list[float]) -> Column:
-    b = F.array(*[F.lit(float(v)) for v in b_vals])
+    b = F.lit([float(v) for v in b_vals])
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

@@ -2725,6 +2725,50 @@ FROM d LEFT JOIN agg a USING (doc_id)
 SQL_SUBSTRING_DEDUP = _sql_substring_dedup()
 
 
+def q_dup_spans(spark, sf_dir):
+    """Maximal duplicated-run report (suffix-array-style ExactSubstr
+    inspection output, Lee et al. 2022): one row per maximal corpus-
+    duplicated span ≥ 8 tokens, with its exact extent and text."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.dup_spans(docs, n=8, min_df=2)
+
+
+def _sql_dup_spans(n: int = 8, min_df: int = 2) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS wh
+  FROM d, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+dfc AS (SELECT wh FROM occ GROUP BY wh HAVING count(*) >= {min_df}),
+starts AS (SELECT DISTINCT doc_id, pos FROM occ JOIN dfc USING (wh)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {n}
+              THEN 0 ELSE 1 END AS b
+  FROM starts
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM brk
+),
+sp AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {n - 1} AS e
+  FROM grp GROUP BY doc_id, g
+)
+SELECT sp.doc_id,
+       CAST(s AS INT) AS span_start,
+       CAST(e AS INT) AS span_end,
+       CAST(e - s + 1 AS BIGINT) AS span_len,
+       array_to_string(w[s + 1:e + 1], ' ') AS span_text
+FROM sp JOIN d ON sp.doc_id = d.doc_id
+"""
+
+
+SQL_DUP_SPANS = _sql_dup_spans()
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language document-length quantiles (exact interpolated
     p50/p90/p99 over n_chars) — the corpus-profile aggregate every
@@ -4476,12 +4520,16 @@ CATALOG: dict[str, tuple] = {
     "bloom_point_lookup": (q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    # NEW in round 5 (late): maximal duplicated-run spans — takes the
+    # window slot of dsir_select (driver-green in r04) so it gets its
+    # first driver check this round
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
-    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     # ---------------- below the driver's 50-row window ----------------
     # (all driver-green in r03/r04; still fully oracle-verified)
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),

@@ -275,6 +275,59 @@ def test_substring_dedup_planted_spans(spark):
         )
 
 
+def test_dup_spans_planted_runs(spark):
+    """dup_spans reports the MAXIMAL extent of each duplicated run: a
+    4-token shared phrase at n=3 merges its two overlapping windows into
+    one [start, start+3] span in BOTH docs (min_df counts occurrences,
+    so the first copy is reported too, unlike substring_dedup's
+    keep-first removal); clean docs yield no rows; two separated copies
+    inside one doc yield two spans."""
+    phrase = "red green blue yellow"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{phrase} one two three"),
+            (2, f"zero {phrase} four five"),
+            (3, "totally unrelated words here"),
+            # two in-doc copies of "aa bb cc", separated by unique text
+            (4, "aa bb cc dd ee ff gg aa bb cc"),
+        ],
+    )
+    rows = curation.dup_spans(docs, n=3, min_df=2).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r)
+    assert set(got) == {1, 2, 4}
+    (s1,) = got[1]
+    assert (s1["span_start"], s1["span_end"], s1["span_text"]) == (0, 3, phrase)
+    (s2,) = got[2]
+    assert (s2["span_start"], s2["span_end"], s2["span_text"]) == (1, 4, phrase)
+    spans4 = sorted((r["span_start"], r["span_end"]) for r in got[4])
+    assert spans4 == [(0, 2), (7, 9)]
+    assert all(r["span_len"] == r["span_end"] - r["span_start"] + 1 for r in rows)
+
+
+def test_dup_spans_adjacent_windows_merge(spark):
+    """Two distinct duplicated 3-grams sitting back-to-back (covered
+    ranges touching end-to-end) merge into ONE contiguous span."""
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb cc dd ee ff"),  # grams at 0 and 3 both duplicated
+            (2, "aa bb cc xx yy zz"),
+            (3, "qq rr ss dd ee ff"),
+        ],
+    )
+    rows = curation.dup_spans(docs, n=3, min_df=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    # doc 1: windows at pos 0 ("aa bb cc") and pos 3 ("dd ee ff") are each
+    # duplicated elsewhere; [0,2] and [3,5] touch -> one merged [0,5] span
+    assert by_doc[1] == [(0, 5)]
+    assert by_doc[2] == [(0, 2)] and by_doc[3] == [(3, 5)]
+
+
 def test_substring_dedup_short_docs_survive_whole(spark):
     docs = _docs(spark, [(1, "just two"), (2, "just two")])
     got = {r["doc_id"]: r for r in curation.substring_dedup(docs, n=3).collect()}
