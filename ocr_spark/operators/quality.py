@@ -750,18 +750,25 @@ def collocations(
     SET (count threshold only, no top-N), so the result is deterministic
     without any ordering contract — rare-pair noise is excluded by the
     exact integer ``min_count`` gate, not a float cut."""
+    from pyspark import StorageLevel
+
     counts = (
         bigram_pairs(corpus, text_col)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bc = counts.filter(F.col("c12") >= min_count)
-    uc = token_counts(corpus, text_col)
+    uc = token_counts(corpus, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     # N_pairs is the total over ALL pairs, not the thresholded set —
     # derived from the UNFILTERED grouped counts (Σ c12), so the pairs
-    # explode runs once: both consumers share the identical
-    # groupBy(w1,w2) Exchange and Spark reuses the shuffle
-    # (ReusedExchange) instead of re-tokenizing the corpus.
+    # explode runs once. Both grouped frames PERSIST (they are
+    # bigram-type / vocabulary sized, tiny next to the corpus) because
+    # each has two consumers — the probability join side and the
+    # normalizing total — and relying on AQE ReusedExchange to dedupe
+    # the broadcast-subquery's corpus pass proved context-dependent:
+    # the identical plan read 4.5 s isolated but 13.6 s inside a long
+    # bench session when the reuse silently didn't kick in.
     np_tot = counts.agg(F.sum("c12").alias("_np"))
     nt_tot = uc.agg(F.sum("cnt").alias("_nt"))
     u1 = F.broadcast(uc.select(F.col("tok").alias("w1"), F.col("cnt").alias("_c1")))
