@@ -328,6 +328,64 @@ def test_dup_spans_adjacent_windows_merge(spark):
     assert by_doc[2] == [(0, 2)] and by_doc[3] == [(3, 5)]
 
 
+def _dup_spans_reference(docs: dict[int, list[str]], n: int, min_df: int):
+    """Pure-Python reference for dup_spans: count n-gram occurrences,
+    keep ≥ min_df starts, merge overlapping/touching covered intervals."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - n + 1):
+            cnt[tuple(toks[i : i + n])] += 1
+    out: dict[int, list[tuple[int, int, str]]] = {}
+    for d, toks in docs.items():
+        spans: list[list[int]] = []
+        for p in range(len(toks) - n + 1):
+            if cnt[tuple(toks[p : p + n])] < min_df:
+                continue
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        if spans:
+            out[d] = [(s, e, " ".join(toks[s : e + 1])) for s, e in spans]
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dup_spans_matches_python_reference_random(spark, seed):
+    """dup_spans equals an independent pure-Python implementation on
+    random small-alphabet corpora (4-word vocabulary forces heavy n-gram
+    collisions), and the cross-operator invariant holds: every token
+    substring_dedup removes lies inside dup_spans' reported coverage
+    (removal exempts the globally-first occurrence; the span report
+    includes it, so coverage ≥ removals, and any doc with removals has
+    at least one span)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        for i in range(1, 8)
+    }
+    df = _docs(spark, [(d, " ".join(t)) for d, t in docs.items()])
+    got: dict[int, list[tuple[int, int, str]]] = {}
+    for r in curation.dup_spans(df, n=3, min_df=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_text"])
+        )
+    for d in got:
+        got[d].sort()
+    ref = _dup_spans_reference(docs, n=3, min_df=2)
+    assert got == ref
+    cov = {d: sum(e - s + 1 for s, e, _ in sp) for d, sp in ref.items()}
+    for r in curation.substring_dedup(df, n=3).collect():
+        if r["n_removed"]:
+            assert r["doc_id"] in ref, "removed tokens outside any reported span"
+            assert r["n_removed"] <= cov[r["doc_id"]]
+
+
 def test_substring_dedup_short_docs_survive_whole(spark):
     docs = _docs(spark, [(1, "just two"), (2, "just two")])
     got = {r["doc_id"]: r for r in curation.substring_dedup(docs, n=3).collect()}
