@@ -250,6 +250,18 @@ def run_table_lifecycle(spark, sf_dir: str) -> dict:
 HEALTHY_CANARY_MEDIANS = {"host": 0.62, "py": 3.0, "io": 1.5}
 CANARY_DEGRADED_FACTOR = 1.5
 
+# Sustained mid-run host sag is INVISIBLE to the 3-second probes:
+# a round-5 run measured the flagship at 599 docs/s while both its start
+# AND end canaries read healthy (the sag outlasted the probe but not the
+# 40 s pipeline).  The flagship docs/s is the one number compared across
+# rounds and against the reference baseline, so it carries its own floor
+# — far below the recorded healthy band (1124-1287 docs/s at the default
+# sf0.1 / 5000-doc corpus) triggers ONE cooldown + re-measure, keeping
+# the best (best-of is already the policy).  Keyed by n_docs because
+# per-doc cost amortizes fixed overhead differently at other corpus
+# sizes; unknown sizes skip the guard.
+FLAGSHIP_FLOOR_DOCS_PER_SEC = {5000: 850.0}
+
 
 def measure_canaries(spark, io_dir: str) -> dict[str, float]:
     """The three fixed host-health probes (JVM arithmetic, Arrow+pandas,
@@ -349,6 +361,18 @@ def main() -> None:
         io_canary_sec = canaries["io"]
 
         flagship = run_flagship(spark, n_docs, repeat=args.repeat)
+        floor = FLAGSHIP_FLOOR_DOCS_PER_SEC.get(n_docs)
+        if floor and flagship["docs_per_sec"] < floor and args.canary_retries > 0:
+            print(
+                f"flagship {flagship['docs_per_sec']} docs/s is below the "
+                f"healthy floor ({floor}); cooldown "
+                f"{args.canary_cooldown_sec}s then re-measure once",
+                file=sys.stderr,
+            )
+            time.sleep(args.canary_cooldown_sec)
+            retry = run_flagship(spark, n_docs, repeat=args.repeat)
+            if retry["docs_per_sec"] > flagship["docs_per_sec"]:
+                flagship = retry
         queries: dict[str, float] = {"extraction_pipeline": flagship["sec"]}
         if not args.flagship_only:
             for name in HEADLINE:
