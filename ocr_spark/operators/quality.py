@@ -372,6 +372,19 @@ def model_from_token_counts(tc: DataFrame, vocab_size: int = 50_000) -> DataFram
     )
 
 
+def _pin_artifact(model: DataFrame) -> DataFrame:
+    """Persist a vocab-bounded model artifact (≤ vocab_size rows) whose
+    plan has MULTIPLE broadcast consumers (the lp-head join and the
+    one-row OOV floor): each broadcast exchange otherwise materializes
+    its own copy of the artifact's full corpus build — the measured
+    broadcast-rebuild trap. Idempotent on repeated calls with the same
+    frame (the streaming fixed-artifact scorers pass one object per
+    query), and a cached ≤50k-row artifact costs nothing."""
+    from pyspark import StorageLevel
+
+    return model.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def score_with_unigram_model(
     documents: DataFrame,
     model: DataFrame,
@@ -386,6 +399,7 @@ def score_with_unigram_model(
     completes within its micro-batch — the streaming form needs no
     state and no watermark (tested stream == batch). Docs with zero
     tokens produce no row."""
+    model = _pin_artifact(model)
     oov = F.broadcast(model.select("oov_lp").limit(1))
     toks = (
         dedup._ensure_parallelism(documents)
@@ -422,6 +436,8 @@ def dsir_importance(
     vocab-truncated artifacts, a few MB at any corpus size), one doc-keyed
     agg — the fused form of scoring twice with
     :func:`score_with_unigram_model`, at half the explode cost."""
+    target_model = _pin_artifact(target_model)
+    source_model = _pin_artifact(source_model)
     oov_t = F.broadcast(
         target_model.select(F.col("oov_lp").alias("_oov_t")).limit(1)
     )
@@ -671,6 +687,7 @@ def score_with_bigram_model(
     like the unigram form. Docs with < 2 tokens produce no row."""
     import math
 
+    unimodel = _pin_artifact(unimodel)
     oov = F.broadcast(unimodel.select("oov_lp").limit(1))
     uni = F.broadcast(
         unimodel.select(F.col("tok").alias("w2"), F.col("lp").alias("_ulp"))
