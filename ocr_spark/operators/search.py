@@ -48,9 +48,13 @@ def bm25_scores(
     contains at least one query term. Deterministic and engine-portable
     (plain arithmetic over exact counts — the DuckDB twin replays it)."""
     terms = sorted(set(terms))
+    from pyspark import StorageLevel
+
+    # lens feeds both the corpus stats agg and the per-doc length join —
+    # persist the 2-column frame so the doc-length pass runs once
     lens = documents.select(
         id_col, token_count(F.col(text_col)).alias("dl")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = lens.agg(
         F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
     )
@@ -231,7 +235,17 @@ def hashed_tfidf(
         .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("term"))
         .filter(F.col("term").isNotNull() & (F.col("term") != ""))
     )
-    pg = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # pg feeds BOTH the df agg and the weight join; persist it so the
+    # tokenize pass is unconditionally single (AQE ReusedExchange deduped
+    # this in isolated runs but silently failed inside long sessions —
+    # the measured collocations trap)
+    from pyspark import StorageLevel
+
+    pg = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df_t = pg.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("N"))
     idf = F.log((F.lit(1) + F.col("N")) / (F.lit(1) + F.col("df"))) + F.lit(1.0)
