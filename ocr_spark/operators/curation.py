@@ -280,10 +280,16 @@ def substring_dedup(
             lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # occ feeds BOTH the duplicate-hash agg and the cut-marking join;
+    # persist the (id, pos, 32-B md5) stream so the md5-per-window build
+    # runs once unconditionally (exchange reuse is context-dependent)
+    from pyspark import StorageLevel
+
     occ = (
         toks.select(id_col, whashes.alias("_wh"))
         .select(id_col, F.posexplode_outer("_wh").alias("pos", "wh"))
         .filter(F.col("wh").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
         occ.groupBy("wh")
@@ -369,10 +375,14 @@ def dup_spans(
             lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # same dual-consumer persist as substring_dedup: the agg + the join
+    from pyspark import StorageLevel
+
     occ = (
         toks.select(id_col, whashes.alias("_wh"))
         .select(id_col, F.posexplode_outer("_wh").alias("pos", "wh"))
         .filter(F.col("wh").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup_h = (
         occ.groupBy("wh")
