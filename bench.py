@@ -79,7 +79,9 @@ EXTRA = [
     "hybrid_topk",
     "substring_dedup",
     # round-5 (late): maximal duplicated-run spans (suffix-array-style report)
+    # + the incremental form against the frozen n-gram statistic
     "dup_spans",
+    "dup_spans_incremental",
     "dsir_select",
     "cap_per_source",
     "time_travel",

@@ -364,6 +364,28 @@ def dup_spans(
     over the doc's sorted start array — so per-doc cost is bounded by
     the doc's own length and the token stream never shuffles.
     """
+    toks, occ = _window_occ(documents, n, text_col, id_col, pin=True)
+    dup_h = (
+        occ.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_df)
+        .select("wh")
+    )
+    return _merged_spans(occ.join(dup_h, on="wh"), toks, n, id_col)
+
+
+def _window_occ(
+    documents: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    pin: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(toks, occ): the token-array frame and the (id, pos, md5-window)
+    occurrence stream the dup-span family shares. ``pin=True`` persists
+    occ for callers with two consumers (the duplicate-hash agg AND the
+    marking join — exchange reuse is context-dependent, the measured
+    collocations trap); single-consumer callers pass False."""
     documents = dedup._ensure_parallelism(documents)
     toks = documents.select(
         id_col, dedup.normalized(F.col(text_col)).alias("_norm")
@@ -375,25 +397,27 @@ def dup_spans(
             lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # same dual-consumer persist as substring_dedup: the agg + the join
-    from pyspark import StorageLevel
-
     occ = (
         toks.select(id_col, whashes.alias("_wh"))
         .select(id_col, F.posexplode_outer("_wh").alias("pos", "wh"))
         .filter(F.col("wh").isNotNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dup_h = (
-        occ.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= min_df)
-        .select("wh")
-    )
-    starts = (
-        occ.join(dup_h, on="wh")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("pos")).alias("_ps"))
+    if pin:
+        from pyspark import StorageLevel
+
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+    return toks, occ
+
+
+def _merged_spans(
+    dup_starts: DataFrame, toks: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Fold duplicated window starts into maximal (span_start, span_end,
+    span_len, span_text) rows — the row-local half of the dup-span
+    family. ``dup_starts`` carries (id_col, pos) for every duplicated
+    window start (duplicates tolerated: collect_set dedupes)."""
+    starts = dup_starts.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("_ps")
     )
     # row-local gaps-and-islands: fold the sorted starts into maximal
     # [s, e] intervals. With starts ascending, the open interval's end is
@@ -441,6 +465,43 @@ def dup_spans(
             " ",
         ).alias("span_text"),
     )
+
+
+def ngram_window_counts(
+    documents: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(wh, cnt): corpus frequencies of word n-gram windows — the
+    statistic :func:`dup_spans` thresholds on, exposed in the ADDITIVE
+    form the streaming state writer merges: every occurrence counts
+    once and deliveries are disjoint, so per-delivery counts SUM to the
+    whole-corpus statistic (the token_stats / doc_freq pattern)."""
+    _toks, occ = _window_occ(documents, n, text_col, id_col, pin=False)
+    return occ.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def dup_spans_apply(
+    documents: DataFrame,
+    stats: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dup_spans` for a NEW delivery against a FROZEN corpus
+    n-gram statistic (a :func:`ngram_window_counts` table — typically
+    the live state ``ngram_stats_stream_writer`` maintains): the
+    delivery's windows join the ≥ min_df hashes of the statistic
+    instead of re-counting the corpus. When ``stats`` covers
+    corpus ∪ delivery, the output equals ``dup_spans`` over the full
+    corpus restricted to the delivery's docs (tested) — duplicated-span
+    reporting as a maintained statistic, no corpus rescan per delivery,
+    the same incremental split as ``hashed_tfidf_apply``."""
+    toks, occ = _window_occ(documents, n, text_col, id_col, pin=False)
+    dup_h = stats.filter(F.col("cnt") >= min_df).select("wh")
+    return _merged_spans(occ.join(dup_h, on="wh"), toks, n, id_col)
 
 
 def contamination_pairs(

@@ -2733,7 +2733,7 @@ def q_dup_spans(spark, sf_dir):
     return curation.dup_spans(docs, n=8, min_df=2)
 
 
-def _sql_dup_spans(n: int = 8, min_df: int = 2) -> str:
+def _sql_dup_spans(n: int = 8, min_df: int = 2, where: str = "") -> str:
     return f"""
 WITH d AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
 occ AS (
@@ -2763,10 +2763,38 @@ SELECT sp.doc_id,
        CAST(e - s + 1 AS BIGINT) AS span_len,
        array_to_string(w[s + 1:e + 1], ' ') AS span_text
 FROM sp JOIN d ON sp.doc_id = d.doc_id
+{where}
 """
 
 
 SQL_DUP_SPANS = _sql_dup_spans()
+
+
+def q_dup_spans_incremental(spark, sf_dir):
+    """The dup-span statistic as a maintained table: report ONLY a "new
+    delivery" half of the corpus (md5-banded, growth-stable) against the
+    FROZEN n-gram window counts — the table ``ngram_stats_stream_writer``
+    maintains on the stream — via :func:`curation.dup_spans_apply`; the
+    oracle recomputes dup_spans from scratch over the full corpus and
+    restricts to the delivery. Equality is what makes duplicated-span
+    reporting incremental: a delivery's spans come from the warm
+    statistic with no corpus rescan (stream-built-state equivalence is
+    proven in tests/test_streaming_curation.py
+    ::test_incremental_dup_spans_loop_end_to_end)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = curation.ngram_window_counts(docs, n=8)
+    arrivals = docs.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    return curation.dup_spans_apply(arrivals, stats, n=8, min_df=2)
+
+
+SQL_DUP_SPANS_INCREMENTAL = _sql_dup_spans(
+    where="WHERE substring(md5('inc:' || sp.doc_id), 1, 1) < '8'"
+)
 
 
 def q_length_quantiles(spark, sf_dir):
@@ -4549,8 +4577,10 @@ CATALOG: dict[str, tuple] = {
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     # ---------------- below the driver's 50-row window ----------------
-    # (all driver-green in r03/r04; still fully oracle-verified)
+    # (all driver-green in r03/r04; still fully oracle-verified, plus the
+    # round-5 late addition dup_spans_incremental)
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "dup_spans_incremental": (q_dup_spans_incremental, SQL_DUP_SPANS_INCREMENTAL),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),

@@ -61,3 +61,45 @@ def decontaminate_stream(
         .filter(~F.arrays_overlap("_grams", "_bench_grams"))
         .drop("_norm", "_w", "_grams", "_bench_grams")
     )
+
+
+def ngram_stats_stream_writer(
+    stream_docs: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    text_col: str = "text",
+    state_dir: str = "",
+    n_files: int = 1,
+):
+    """``writeStream`` writer maintaining the corpus n-gram window
+    frequencies ``(wh, cnt)`` of a document stream — the statistic
+    :func:`ocr_spark.operators.curation.dup_spans` thresholds on, kept
+    warm per delivery exactly like ``token_stats_stream_writer`` keeps
+    term frequencies: window counts are additive across disjoint
+    deliveries, so the idempotent HEAD-commit merge applies unchanged
+    (replayed micro-batches are no-ops).
+
+    ``read_sketch_state(state_dir)`` at any commit point equals batch
+    :func:`ngram_window_counts` over everything committed so far, and
+    ``dup_spans_apply(new_batch, state)`` then reports the new
+    delivery's duplicated spans against the WHOLE committed corpus
+    without rescanning it (equality with the full-batch rebuild is
+    tested end-to-end). State size is the n-gram type count — larger
+    than a vocabulary but still sublinear in the corpus under heavy
+    duplication; raise ``n_files`` so the LSM-style merges stay
+    partitioned at scale.
+    """
+    from ocr_spark.operators.curation import ngram_window_counts
+    from ocr_spark.streaming.sketch import _merge_batch
+
+    if not state_dir:
+        raise ValueError("ngram_stats_stream_writer needs a state_dir")
+    return stream_docs.writeStream.foreachBatch(
+        lambda df, bid: _merge_batch(
+            df,
+            bid,
+            state_dir,
+            lambda b: ngram_window_counts(b, n, text_col),
+            ["wh"],
+            n_files=n_files,
+        )
+    )

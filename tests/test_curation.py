@@ -469,3 +469,36 @@ def test_split_assign_rejects_bad_fractions(spark):
         curation.split_assign(df, {"train": 0.8, "val": 0.1})
     with _pytest.raises(ValueError, match="at least two"):
         curation.split_assign(df, {"all": 1.0})
+
+
+def test_dup_spans_apply_equals_full_restriction(spark):
+    """dup_spans_apply(delivery, stats-over-everything) == dup_spans over
+    the full corpus restricted to the delivery: cross-delivery dups (doc
+    3 repeats doc 1's phrase, doc 4 repeats doc 2's) and clean arrivals
+    all land identically, so the frozen statistic is a drop-in for the
+    full recount."""
+    docs = _docs(
+        spark,
+        [
+            (1, "p q r s t"),
+            (2, "a b c d"),
+            (3, "x p q r s y"),
+            (4, "a b c d z"),
+            (5, "m n o"),
+        ],
+    )
+    stats = curation.ngram_window_counts(docs, n=3)
+    arrivals = docs.filter(F.col("doc_id") >= 3)
+    key = ("doc_id", "span_start", "span_end", "span_len", "span_text")
+    inc = sorted(
+        tuple(r[k] for k in key)
+        for r in curation.dup_spans_apply(arrivals, stats, n=3, min_df=2).collect()
+    )
+    full = sorted(
+        tuple(r[k] for k in key)
+        for r in curation.dup_spans(docs, n=3, min_df=2)
+        .filter(F.col("doc_id") >= 3)
+        .collect()
+    )
+    assert inc == full
+    assert {t[0] for t in inc} == {3, 4}  # doc 5 is clean

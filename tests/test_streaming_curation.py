@@ -81,3 +81,51 @@ def test_stateless_ops_run_unchanged_on_streams(spark, tmp_path):
         for r in curation.stratified_sample(docs, rates, default_rate=0.2).collect()
     )
     assert sorted(r.doc_id for r in got_s.collect()) == want_s
+
+
+def test_incremental_dup_spans_loop_end_to_end(spark, tmp_path):
+    """The dup-span statistic as a maintained table: the n-gram window
+    counts absorb deliveries on the stream; when a new delivery lands,
+    dup_spans_apply reports ONLY its documents' duplicated spans against
+    the frozen state — equal to the full-batch dup_spans over everything
+    delivered so far, restricted to those docs. No corpus rescan, the
+    same incremental split hashed_tfidf_apply proves for embeddings."""
+    from ocr_spark.streaming.curation import ngram_stats_stream_writer
+    from ocr_spark.streaming.sketch import read_sketch_state
+
+    src, docs = _write_batched(spark, tmp_path)
+    state = str(tmp_path / "ngram_state_e2e")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        ngram_stats_stream_writer(stream, n=8, text_col="text", state_dir=state)
+        .option("checkpointLocation", str(tmp_path / "ck_ngram_e2e"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+
+    state_df = read_sketch_state(spark, state)
+    # state equals the batch statistic over everything committed
+    got_stats = {r["wh"]: r["cnt"] for r in state_df.collect()}
+    want_stats = {
+        r["wh"]: r["cnt"] for r in curation.ngram_window_counts(docs, n=8).collect()
+    }
+    assert got_stats == want_stats
+
+    # "the new delivery": one of the five streamed file-batches
+    arrivals = docs.filter(F.col("doc_id") % 5 == 4)
+    assert arrivals.count() > 0
+    key = ("doc_id", "span_start", "span_end", "span_len", "span_text")
+    inc = sorted(
+        tuple(r[k] for k in key)
+        for r in curation.dup_spans_apply(arrivals, state_df, n=8).collect()
+    )
+    rebuild = sorted(
+        tuple(r[k] for k in key)
+        for r in curation.dup_spans(docs, n=8)
+        .join(arrivals.select("doc_id"), "doc_id")
+        .collect()
+    )
+    assert inc == rebuild and len(inc) > 0
