@@ -375,6 +375,10 @@ def main() -> None:
             retry = run_flagship(spark, n_docs, repeat=args.repeat)
             if retry["docs_per_sec"] > flagship["docs_per_sec"]:
                 flagship = retry
+        # still below after the retry → stamp it so the artifact can't
+        # read as a silent engine regression (the canaries may both be
+        # healthy around a sustained mid-run sag)
+        flagship_below_floor = bool(floor and flagship["docs_per_sec"] < floor)
         queries: dict[str, float] = {"extraction_pipeline": flagship["sec"]}
         if not args.flagship_only:
             for name in HEADLINE:
@@ -442,6 +446,10 @@ def main() -> None:
                     # artifact then overstate engine cost and should not
                     # be compared across rounds without canary scaling.
                     "degraded_window": bool(start_degraded) or end_degraded,
+                    # True when the flagship stayed below its healthy
+                    # throughput floor even after the cooldown retry —
+                    # the sustained-sag case both canaries can miss.
+                    "flagship_below_floor": flagship_below_floor,
                 }
             )
         )

@@ -269,28 +269,7 @@ def substring_dedup(
     standard distributed approximation (any duplicated run ≥ n tokens is
     still fully removed — runs < n are kept, which the paper's 50-token
     threshold also deliberately ignores)."""
-    documents = dedup._ensure_parallelism(documents)
-    toks = documents.select(
-        id_col, dedup.normalized(F.col(text_col)).alias("_norm")
-    ).select(id_col, F.split(F.col("_norm"), " ").alias("_w"))
-    whashes = F.when(
-        F.size("_w") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
-            lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # occ feeds BOTH the duplicate-hash agg and the cut-marking join;
-    # persist the (id, pos, 32-B md5) stream so the md5-per-window build
-    # runs once unconditionally (exchange reuse is context-dependent)
-    from pyspark import StorageLevel
-
-    occ = (
-        toks.select(id_col, whashes.alias("_wh"))
-        .select(id_col, F.posexplode_outer("_wh").alias("pos", "wh"))
-        .filter(F.col("wh").isNotNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    toks, occ = _window_occ(documents, n, text_col, id_col, pin=True)
     dup = (
         occ.groupBy("wh")
         .agg(

@@ -4569,16 +4569,19 @@ CATALOG: dict[str, tuple] = {
     "bloom_point_lookup": (q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    # NEW in round 5 (late): maximal duplicated-run spans — takes the
-    # window slot of dsir_select (driver-green in r04) so it gets its
-    # first driver check this round
+    # NEW in round 5 (late): maximal duplicated-run spans, inserted at
+    # index 48 so it gets its first driver check this round. The
+    # insertion displaced incremental_exact_dedup and pack_chunks (both
+    # driver-green in r04, so neither loses its only hard check) to
+    # indices 50-51 — BELOW the window; the marker below reflects the
+    # true boundary.
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
-    "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
-    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     # ---------------- below the driver's 50-row window ----------------
     # (all driver-green in r03/r04; still fully oracle-verified, plus the
     # round-5 late addition dup_spans_incremental)
+    "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "dup_spans_incremental": (q_dup_spans_incremental, SQL_DUP_SPANS_INCREMENTAL),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
