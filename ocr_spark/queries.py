@@ -54,9 +54,25 @@ def fix6(c: Column) -> Column:
     return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
 
 
+def grid_avg(c: Column, scale: int) -> Column:
+    """Order-independent mean of a fixed-decimal-grid column (step
+    1/scale): recover each row's integer grid units (exact), sum as
+    BIGINT (exact), divide once.  A plain float avg's sum is
+    partition-order-dependent in its last ulp, and grid values are the
+    one case where the TRUE mean can sit exactly on fix4's rounding
+    boundary (avg of 0.1-grid quality over 16 docs = 0.79375), so the
+    ulp decides the rounded digit — the local[4]-green /
+    local[32]-red corpus_stats flip this replaces."""
+    return F.sum(F.round(c * scale).cast("long")) / (
+        F.count(F.lit(1)) * F.lit(float(scale))
+    )
+
+
 _SQL_MONEY2 = "floor(({x}) * 100 + 0.5) / 100"
 _SQL_FIX4 = "floor(({x}) * 10000 + 0.5) / 10000"
 _SQL_FIX6 = "floor(({x}) * 1000000 + 0.5) / 1000000"
+# SQL twin of grid_avg(): exact integer-grid sum, one division
+_SQL_GRID_AVG = "sum(CAST(round(({x}) * {s}) AS BIGINT)) / (count(*) * {s}.0)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -757,7 +773,7 @@ def q_word_confidence(spark, sf_dir):
         words.filter(F.col("conf") > 0.5)
         .groupBy("p_partkey")
         .agg(
-            fix4(F.avg("conf")).alias("mean_conf"),
+            fix4(grid_avg(F.col("conf"), 100)).alias("mean_conf"),
             F.count(F.lit(1)).alias("n_words"),
         )
     )
@@ -771,7 +787,9 @@ WITH words AS (
   SELECT p_partkey, (length(word) * 7 + p_partkey) % 101 / 100.0 AS conf
   FROM words
 )
-SELECT p_partkey, {_SQL_FIX4.format(x='avg(conf)')} AS mean_conf, count(*) AS n_words
+SELECT p_partkey,
+       {_SQL_FIX4.format(x=_SQL_GRID_AVG.format(x="conf", s=100))} AS mean_conf,
+       count(*) AS n_words
 FROM conf WHERE conf > 0.5 GROUP BY p_partkey
 """
 
@@ -1926,7 +1944,7 @@ SELECT doc_id, media_ref,
 FROM '{_OCR_WORDS_GOLDEN}'
 WHERE conf > 0.5
 GROUP BY doc_id, media_ref
-""".format(fix4=_SQL_FIX4.format(x="avg(conf)"))
+""".format(fix4=_SQL_FIX4.format(x=_SQL_GRID_AVG.format(x="conf", s=100)))
 
 
 def q_ocr_words(spark, sf_dir):
@@ -1951,7 +1969,10 @@ def q_ocr_word_confidence(spark, sf_dir):
     return (
         out.filter(F.col("conf") > 0.5)
         .groupBy("doc_id", "media_ref")
-        .agg(fix4(F.avg("conf")).alias("mean_conf"), F.count(F.lit(1)).alias("n_words"))
+        .agg(
+            fix4(grid_avg(F.col("conf"), 100)).alias("mean_conf"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
     )
 
 
@@ -2255,7 +2276,7 @@ def q_corpus_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            fix4(F.avg("quality")).alias("avg_quality"),
+            fix4(grid_avg(F.col("quality"), 10)).alias("avg_quality"),
             F.countDistinct("fp").alias("n_unique"),
         )
     )
@@ -2266,7 +2287,7 @@ WITH ts AS ({_sql_textstats()})
 SELECT d.source, ts.lang_pred,
        count(*) AS n_docs,
        CAST(sum(ts.n_tokens) AS BIGINT) AS total_tokens,
-       {_SQL_FIX4.format(x="avg(ts.quality)")} AS avg_quality,
+       {_SQL_FIX4.format(x=_SQL_GRID_AVG.format(x="ts.quality", s=10))} AS avg_quality,
        CAST(count(DISTINCT ts.fp) AS BIGINT) AS n_unique
 FROM documents d JOIN ts ON d.doc_id = ts.doc_id
 GROUP BY 1, 2
