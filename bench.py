@@ -106,6 +106,9 @@ EXTRA = [
     "chunk_documents",
     "split_counts",
     "skew_profile",
+    # round-5 (late): cross-document boilerplate-line filter (CCNet/
+    # RefinedWeb shared-line step; dedup_lines' corpus-wide sibling)
+    "remove_boilerplate",
 ]
 
 

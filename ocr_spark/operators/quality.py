@@ -266,6 +266,80 @@ def dedup_lines_local(
     return staged.select(id_col, F.array_join(kept, "\n").alias("text_clean"))
 
 
+def boilerplate_lines(
+    documents: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(line_md5, n_docs): every distinct line appearing in at least
+    ``min_docs`` DISTINCT documents — the cross-document boilerplate
+    statistic (nav menus, cookie banners, footers) of the CCNet /
+    RefinedWeb line-level filter, the corpus-wide sibling of the
+    within-document :func:`dedup_lines`.
+
+    Scale shape: lines collapse to (doc, line_md5) per document first
+    (map-side distinct within the doc key), then one keyed count per
+    md5 — only 32-byte hashes ever shuffle, never line text, and the
+    output is boilerplate-sized (every surviving row represents
+    ≥ min_docs occurrences, so |out| ≤ total_lines / min_docs)."""
+    lines = split_lines(documents, text_col, id_col)
+    return (
+        lines.select(id_col, F.md5("line").alias("line_md5"))
+        .distinct()
+        .groupBy("line_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    documents: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """(id, text_clean): each document with its cross-document
+    boilerplate lines removed — every line that appears in ≥ min_docs
+    distinct documents is dropped from ALL of them (CCNet's shared-line
+    filter; within-doc repeats of a non-boilerplate line survive,
+    that's :func:`dedup_lines`' job). Documents whose every line is
+    boilerplate are kept with ``text_clean = ''`` so the doc set is
+    stable under the filter.
+
+    Pass a precomputed/maintained ``stats`` frame (line_md5, n_docs —
+    e.g. from a statistic table kept over deliveries) to skip the
+    corpus counting pass and only pay the apply half.
+
+    Scale shape: the flagged set is boilerplate-sized (see
+    :func:`boilerplate_lines`), so the anti-join is AQE-broadcast in
+    practice; the ordered re-assembly is the same doc-keyed
+    array_sort/array_join as dedup_lines — no window over the corpus."""
+    lines = split_lines(documents, text_col, id_col)
+    flagged = (stats if stats is not None else boilerplate_lines(
+        documents, min_docs, text_col, id_col
+    )).filter(F.col("n_docs") >= min_docs).select("line_md5")
+    kept = lines.join(
+        flagged, F.md5(lines["line"]) == flagged["line_md5"], "left_anti"
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_s"))
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("_s"), lambda s: s["line"]), "\n"
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        documents.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(id_col, F.coalesce("text_clean", F.lit("")).alias("text_clean"))
+    )
+
+
 def unigram_logprob(
     documents: DataFrame,
     text_col: str = "text",

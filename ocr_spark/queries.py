@@ -2503,6 +2503,58 @@ FROM firsts GROUP BY doc_id
 """
 
 
+_BOILER_MIN_DOCS = 2
+
+
+def q_boilerplate_stats(spark, sf_dir):
+    """Cross-document boilerplate-line statistic (CCNet/RefinedWeb
+    shared-line filter): every line appearing in ≥2 distinct docs of
+    the lined view, as (line_md5, n_docs)."""
+    return quality.boilerplate_lines(
+        _lined(_t(spark, sf_dir, "documents")), min_docs=_BOILER_MIN_DOCS
+    )
+
+
+def q_remove_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate REMOVAL: docs with their ≥2-doc shared
+    lines dropped (all occurrences; empty-after-filter docs kept with
+    '')."""
+    return quality.remove_boilerplate(
+        _lined(_t(spark, sf_dir, "documents")), min_docs=_BOILER_MIN_DOCS
+    )
+
+
+_SQL_BOILER_LINES = f"""
+aug AS ({_SQL_LINED}),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS line
+  FROM ls, UNNEST(generate_series(1, len(arr))) AS t(i)
+),
+bp AS (
+  SELECT md5(line) AS line_md5, count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+)
+"""
+
+SQL_BOILERPLATE_STATS = f"WITH {_SQL_BOILER_LINES} SELECT line_md5, n_docs FROM bp"
+
+SQL_REMOVE_BOILERPLATE = f"""
+WITH {_SQL_BOILER_LINES},
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  WHERE md5(l.line) NOT IN (SELECT line_md5 FROM bp)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+FROM (SELECT DISTINCT doc_id FROM aug) d
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 _PACK_BUDGET = 512
 _PACK_SHARDS = 8
 
@@ -4637,6 +4689,8 @@ CATALOG: dict[str, tuple] = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "boilerplate_stats": (q_boilerplate_stats, SQL_BOILERPLATE_STATS),
+    "remove_boilerplate": (q_remove_boilerplate, SQL_REMOVE_BOILERPLATE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),

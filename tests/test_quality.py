@@ -374,3 +374,67 @@ def test_chunk_documents_rejects_bad_stride(spark):
         quality.chunk_documents(df, chunk_tokens=4, stride=5)
     with pytest.raises(ValueError, match="stride"):
         quality.chunk_documents(df, chunk_tokens=0)
+
+
+def test_boilerplate_lines_cross_doc_counts(spark):
+    # "footer" in docs 0,1,2; "menu" in 0,1; "body N" unique per doc
+    docs = _docs(
+        spark,
+        [
+            (0, "body 0\nmenu\nfooter"),
+            (1, "menu\nbody 1\nfooter"),
+            (2, "footer\nbody 2"),
+        ],
+    )
+    got = {
+        r["line_md5"]: r["n_docs"]
+        for r in quality.boilerplate_lines(docs, min_docs=2).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == {md5("footer"): 3, md5("menu"): 2}
+
+
+def test_remove_boilerplate_drops_shared_keeps_unique(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "body 0\nmenu\nfooter"),
+            (1, "menu\nbody 1\nfooter"),
+            (2, "footer\nbody 2"),
+            (3, "footer\nmenu"),  # all-boilerplate doc -> empty, still present
+        ],
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.remove_boilerplate(docs, min_docs=2).collect()
+    }
+    assert got == {0: "body 0", 1: "body 1", 2: "body 2", 3: ""}
+
+
+def test_remove_boilerplate_within_doc_repeats_survive(spark):
+    # a line repeated WITHIN one doc is not cross-document boilerplate
+    docs = _docs(spark, [(0, "x\ny\nx"), (1, "z")])
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.remove_boilerplate(docs, min_docs=2).collect()
+    }
+    assert got == {0: "x\ny\nx", 1: "z"}
+
+
+def test_remove_boilerplate_threshold_and_stats_injection(spark):
+    docs = _docs(spark, [(0, "a\nb"), (1, "a\nc"), (2, "a\nd")])
+    # min_docs=3: only "a" (3 docs) flagged
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.remove_boilerplate(docs, min_docs=3).collect()
+    }
+    assert got == {0: "b", 1: "c", 2: "d"}
+    # injected stats frame (the maintained-statistic path) must be honored
+    stats = quality.boilerplate_lines(docs, min_docs=3)
+    got2 = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.remove_boilerplate(docs, min_docs=3, stats=stats).collect()
+    }
+    assert got2 == got
