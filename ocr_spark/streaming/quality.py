@@ -79,3 +79,54 @@ def unigram_model_from_state(
     if tc is None:
         return None
     return model_from_token_counts(tc, vocab_size)
+
+
+def line_stats_stream_writer(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_dir: str = "",
+    n_files: int = 1,
+):
+    """``writeStream`` writer maintaining the cross-document line
+    statistic ``(line_md5, cnt)`` — cnt = how many distinct documents
+    contain the line — that
+    :func:`ocr_spark.operators.quality.remove_boilerplate` thresholds
+    on. Each document arrives in exactly one delivery and doc ids are
+    unique, so per-delivery distinct-doc counts are ADDITIVE across
+    deliveries and the idempotent HEAD-commit merge applies unchanged
+    (replayed micro-batches are no-ops). State size is the distinct-line
+    count (sublinear in the corpus under the duplication boilerplate
+    implies)."""
+    from ocr_spark.operators.quality import boilerplate_lines
+
+    if not state_dir:
+        raise ValueError("line_stats_stream_writer needs a state_dir")
+    return stream_docs.writeStream.foreachBatch(
+        lambda df, bid: _merge_batch(
+            df,
+            bid,
+            state_dir,
+            lambda b: boilerplate_lines(
+                b, min_docs=1, text_col=text_col, id_col=id_col
+            ).withColumnRenamed("n_docs", "cnt"),
+            ["line_md5"],
+            n_files=n_files,
+        )
+    )
+
+
+def boilerplate_stats_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame | None:
+    """The ``(line_md5, n_docs)`` stats frame — shaped for
+    ``remove_boilerplate(stats=...)`` — derived from the streaming line
+    state: a new delivery is cleaned against the WHOLE committed corpus
+    without rescanning it (the maintained-statistic apply, same loop as
+    the incremental embeddings and dup-span statistics)."""
+    st = read_sketch_state(spark, state_dir)
+    if st is None:
+        return None
+    from pyspark.sql import functions as F
+
+    return st.select("line_md5", F.col("cnt").alias("n_docs"))

@@ -279,3 +279,66 @@ def test_incremental_embedding_loop_end_to_end(spark, tmp_path):
         .collect()
     }
     assert inc == rebuild
+
+
+def test_line_stats_stream_feeds_boilerplate_removal(spark, tmp_path):
+    """The maintained-statistic loop for the cross-document boilerplate
+    filter: stream the corpus in 4 micro-batches keeping (line_md5,
+    cnt) warm, then clean 'the new delivery' against the frozen state —
+    state equals the batch statistic, and the apply equals the
+    full-corpus remove_boilerplate restricted to the delivery."""
+    from ocr_spark.streaming.quality import (
+        boilerplate_stats_from_state,
+        line_stats_stream_writer,
+    )
+
+    # 20 docs: "footer" in all, "menu" in even ids, unique body lines —
+    # shared lines deliberately straddle the micro-batch boundaries
+    rows = [
+        (i, ("footer\n" + ("menu\n" if i % 2 == 0 else "") + f"body {i}"))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "bp_src")
+    docs.withColumn("_b", F.col("doc_id") % 4).repartition(4, "_b").drop(
+        "_b"
+    ).write.mode("overwrite").parquet(src)
+
+    state = str(tmp_path / "bp_state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        line_stats_stream_writer(stream, state_dir=state)
+        .option("checkpointLocation", str(tmp_path / "ck_bp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+
+    stats = boilerplate_stats_from_state(spark, state)
+    got_stats = {r["line_md5"]: r["n_docs"] for r in stats.collect()}
+    want_stats = {
+        r["line_md5"]: r["n_docs"]
+        for r in quality.boilerplate_lines(docs, min_docs=1).collect()
+    }
+    assert got_stats == want_stats
+
+    arrivals = docs.filter(F.col("doc_id") % 4 == 3)
+    inc = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.remove_boilerplate(
+            arrivals, min_docs=2, stats=stats
+        ).collect()
+    }
+    rebuild = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.remove_boilerplate(docs, min_docs=2)
+        .join(arrivals.select("doc_id"), "doc_id")
+        .collect()
+    }
+    assert inc == rebuild and len(inc) == 5
+    # the shared lines are gone, the unique bodies survive
+    assert all(v.startswith("body ") for v in inc.values())
