@@ -340,6 +340,42 @@ def remove_boilerplate(
     )
 
 
+def remove_boilerplate_local(
+    documents: DataFrame,
+    stats: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zero-shuffle apply form of :func:`remove_boilerplate` against a
+    precomputed ``(line_md5, n_docs)`` statistic (identical output —
+    shares its oracle SQL): the flagged md5s collapse to ONE broadcast
+    row and each document filters its own line array row-locally — no
+    explode, no re-assembly shuffle, and pure column expressions, so it
+    runs UNCHANGED on a streaming frame in append mode with zero state
+    (the streaming drop-in; this is how a maintained statistic from
+    ``line_stats_stream_writer`` cleans live deliveries).
+
+    Per-line membership is an O(|flagged|) array scan — fine while the
+    boilerplate set is broadcast-sized (it is by construction,
+    ≤ lines/min_docs and in practice tiny); prefer the anti-join form
+    when the flagged set outgrows a broadcast."""
+    flagged = (
+        stats.filter(F.col("n_docs") >= min_docs)
+        .agg(F.collect_set("line_md5").alias("_bp"))
+        .cache()
+    )
+    staged = documents.select(
+        id_col, F.split(F.col(text_col), "\n").alias("_lines")
+    )
+    kept = F.filter(
+        F.col("_lines"), lambda x: ~F.array_contains(F.col("_bp"), F.md5(x))
+    )
+    return staged.crossJoin(F.broadcast(flagged)).select(
+        id_col, F.array_join(kept, "\n").alias("text_clean")
+    )
+
+
 def unigram_logprob(
     documents: DataFrame,
     text_col: str = "text",

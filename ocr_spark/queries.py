@@ -2524,6 +2524,18 @@ def q_remove_boilerplate(spark, sf_dir):
     )
 
 
+def q_remove_boilerplate_local(spark, sf_dir):
+    """Zero-shuffle apply form of remove_boilerplate (broadcast flagged
+    set + row-local array filter; also the streaming drop-in) — oracled
+    against the anti-join form's SQL, so the hash match proves the two
+    implementations equivalent."""
+    docs = _lined(_t(spark, sf_dir, "documents"))
+    stats = quality.boilerplate_lines(docs, min_docs=_BOILER_MIN_DOCS)
+    return quality.remove_boilerplate_local(
+        docs, stats, min_docs=_BOILER_MIN_DOCS
+    )
+
+
 _SQL_BOILER_LINES = f"""
 aug AS ({_SQL_LINED}),
 ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
@@ -4691,6 +4703,7 @@ CATALOG: dict[str, tuple] = {
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "boilerplate_stats": (q_boilerplate_stats, SQL_BOILERPLATE_STATS),
     "remove_boilerplate": (q_remove_boilerplate, SQL_REMOVE_BOILERPLATE),
+    "remove_boilerplate_local": (q_remove_boilerplate_local, SQL_REMOVE_BOILERPLATE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),

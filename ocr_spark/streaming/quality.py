@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ocr_spark.operators.quality import (  # noqa: F401
     dedup_lines_local as dedup_lines_stream,
     model_from_token_counts,
+    remove_boilerplate_local as remove_boilerplate_stream,
     repetition_stats_local as repetition_stats_stream,
     token_counts,
 )

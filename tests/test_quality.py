@@ -438,3 +438,25 @@ def test_remove_boilerplate_threshold_and_stats_injection(spark):
         for r in quality.remove_boilerplate(docs, min_docs=3, stats=stats).collect()
     }
     assert got2 == got
+
+
+def test_remove_boilerplate_local_equals_antijoin_form(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "body 0\nmenu\nfooter"),
+            (1, "menu\nbody 1\nfooter"),
+            (2, "footer\nbody 2"),
+            (3, "footer\nmenu"),
+        ],
+    )
+    stats = quality.boilerplate_lines(docs, min_docs=1)
+    a = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.remove_boilerplate(docs, min_docs=2, stats=stats).collect()
+    }
+    b = {
+        r["doc_id"]: r["text_clean"]
+        for r in quality.remove_boilerplate_local(docs, stats, min_docs=2).collect()
+    }
+    assert a == b and b[3] == ""

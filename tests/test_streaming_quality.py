@@ -342,3 +342,36 @@ def test_line_stats_stream_feeds_boilerplate_removal(spark, tmp_path):
     assert inc == rebuild and len(inc) == 5
     # the shared lines are gone, the unique bodies survive
     assert all(v.startswith("body ") for v in inc.values())
+
+
+def test_remove_boilerplate_stream_equals_batch(spark, tmp_path):
+    """The row-local apply form is a stateless streaming drop-in: clean
+    a 5-micro-batch stream against a FIXED statistic and match the batch
+    anti-join form row-for-row."""
+    from ocr_spark.streaming.quality import remove_boilerplate_stream
+
+    rows = [
+        (i, ("footer\n" + ("menu\n" if i % 2 == 0 else "") + f"body {i}"))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "bps_src")
+    docs.withColumn("_b", F.col("doc_id") % 5).repartition(5, "_b").drop(
+        "_b"
+    ).write.mode("overwrite").parquet(src)
+    stats = quality.boilerplate_lines(docs, min_docs=2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = _run_stream(
+        spark,
+        remove_boilerplate_stream(stream, stats, min_docs=2),
+        tmp_path,
+        "bp_stream",
+    ).collect()
+    want = quality.remove_boilerplate(docs, min_docs=2, stats=stats).collect()
+    assert _keyed(got) == _keyed(want)
+    assert len(got) == 20
