@@ -806,3 +806,77 @@ def aes_keyed(
     )
     w = F.col(weight_col).cast("double")
     return df.filter(w.isNotNull() & (w > 0)).withColumn("_aes_key", -F.log(u) / w)
+
+
+def source_overlap(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every pair of sources,
+    how much exact-duplicate content they share — the audit a corpus
+    assembler runs BEFORE mixing crawls/dumps, because two "independent"
+    sources that are 40 % the same silently double that content's
+    sampling weight (the cross-corpus face of exact dedup; the
+    reference's per-document fingerprint seat is the invoice-dedupe
+    content hash).
+
+    A doc's fingerprint is md5(normalized text) — the same canonical
+    fingerprint :func:`ocr_spark.operators.dedup.exact_dedup_groups`
+    keys on, so "shared" here means "exact_dedup would collapse them".
+
+    Returns one row per unordered source pair that shares at least one
+    fingerprint: (source_a, source_b, n_shared, n_a, n_b, jaccard) with
+    source_a < source_b; n_a/n_b are each source's DISTINCT-content doc
+    counts and jaccard = n_shared / (n_a + n_b - n_shared), computed as
+    one division over exact integers (order-independent).
+
+    Scale shape: the corpus collapses to distinct (source, fp) rows —
+    32-byte hashes, never text — in one map-side-combined shuffle; the
+    self-join keys on fp where each group is at most |sources| rows
+    (bounded fan-out, no hot key possible); per-source sizes are a tiny
+    agg broadcast onto the pair counts. Nothing here is ever all-pairs
+    in documents.
+    """
+    fps = (
+        dedup._ensure_parallelism(documents)
+        .select(
+            F.col(group_col).alias("src"),
+            F.md5(dedup.normalized(F.col(text_col))).alias("fp"),
+        )
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), on="fp")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))),
+            on="source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

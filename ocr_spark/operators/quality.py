@@ -975,3 +975,56 @@ def chunk_documents(
             F.array_join("c._w", " ").alias("chunk"),
         )
     )
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): per-LANGUAGE terciles of the LM quality score split the
+    corpus into the well-written third ("head"), the middle, and the
+    noisy tail — the bucket label is what CCNet ships so downstream
+    mixing can sample head-heavy without re-scoring.  The score here is
+    :func:`unigram_logprob` (higher = better, so head = top tercile by
+    logprob = LOWEST perplexity), the engine-portable seat of the KenLM
+    scorer; swap in :func:`score_with_unigram_model` /
+    :func:`score_with_bigram_model` when a fixed reference-corpus
+    artifact should define "well-written" instead of the corpus itself.
+
+    Returns one row per scoreable doc: (doc_id, lang, lp, bucket).
+
+    Determinism: logprob lands on the 1e-6 grid BEFORE the tercile
+    quantile, so boundary interpolation and the >= comparisons both run
+    over grid values; tercile positions are computed as
+    ``CAST(1 AS DOUBLE)/3`` double division so any engine derives the
+    identical rank index.  Docs with zero tokens have no score and no
+    bucket (absent on both engine and oracle sides).
+
+    Scale shape: the corpus pays unigram_logprob's one collapsed
+    (doc, tok, c) shuffle; per-language boundaries are a tiny keyed
+    percentile agg (languages ~dozens) broadcast back, and the bucket
+    label is a map-side comparison — the corpus never reshuffles after
+    the score.
+    """
+    lp = unigram_logprob(documents, text_col=text_col, id_col=id_col)
+    scored = documents.select(id_col, lang_col).join(
+        lp.select(
+            id_col,
+            (F.floor(F.col("logprob") * 1000000 + F.lit(0.5)) / 1000000).alias("lp"),
+        ),
+        on=id_col,
+    )
+    bounds = scored.groupBy(lang_col).agg(
+        F.expr("percentile(lp, CAST(1 AS DOUBLE)/3)").alias("p_lo"),
+        F.expr("percentile(lp, CAST(2 AS DOUBLE)/3)").alias("p_hi"),
+    )
+    out = scored.join(F.broadcast(bounds), on=lang_col)
+    bucket = (
+        F.when(F.col("lp") >= F.col("p_hi"), F.lit("head"))
+        .when(F.col("lp") >= F.col("p_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(id_col, lang_col, "lp", bucket.alias("bucket"))

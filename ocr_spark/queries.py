@@ -4584,6 +4584,212 @@ LIMIT 20
 # catalog
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# round-5 late additions: CCNet perplexity buckets, cross-source overlap,
+# int8 embedding quantization, tokenizer fertility
+# --------------------------------------------------------------------------
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): per-lang
+    terciles of the unigram LM score label every doc head/middle/tail —
+    the mixing-recipe input CCNet ships.  See
+    quality.perplexity_buckets for the determinism contract (score on
+    the 1e-6 grid BEFORE the tercile quantile; double-division tercile
+    positions)."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality.perplexity_buckets(docs)
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+),
+pg AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+tc AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cnt FROM pg GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS N FROM tc),
+lp AS (
+  SELECT doc_id,
+         {_SQL_FIX6.format(x="sum(c * ln(cnt / N)) / sum(c)")} AS lp
+  FROM pg JOIN tc USING (tok) CROSS JOIN total
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, lp.lp FROM documents d JOIN lp USING (doc_id)
+),
+bounds AS (
+  SELECT lang,
+         quantile_cont(lp, CAST(1 AS DOUBLE)/3) AS p_lo,
+         quantile_cont(lp, CAST(2 AS DOUBLE)/3) AS p_hi
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.lp,
+       CASE WHEN s.lp >= b.p_hi THEN 'head'
+            WHEN s.lp >= b.p_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN bounds b USING (lang)
+"""
+
+
+def _merged_crawls(docs):
+    """Deterministic two-dump view for the overlap audit: the testdata
+    sources are content-disjoint by construction, so (like _lined /
+    _bench for the boilerplate and contamination rows) the audited
+    condition is synthesized identically on both engines — an
+    md5-selected quarter of the docs is re-attributed to a synthetic
+    aggregator dump 'crawl2' and unioned with the originals, the
+    "same pages arrived through two crawls" shape the audit exists
+    for."""
+    mirrored = docs.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("ovl:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "4"
+    ).withColumn("source", F.lit("crawl2"))
+    return docs.unionByName(mirrored)
+
+
+_SQL_MERGED_CRAWLS = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id, text, lang, 'crawl2' AS source, n_chars
+FROM documents WHERE substring(md5('ovl:' || doc_id), 1, 1) < '4'
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplicate-overlap matrix: per source pair, shared
+    distinct-content fingerprints + exact-integer Jaccard — the
+    pre-mixing audit that catches two crawls silently doubling the same
+    content's sampling weight. Runs over the deterministic two-dump
+    view (_merged_crawls) because the raw testdata sources are
+    content-disjoint."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.source_overlap(_merged_crawls(docs))
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        fix6(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH aug AS ({_SQL_MERGED_CRAWLS}),
+fps AS (
+  SELECT DISTINCT source AS src, md5({_SQL_NORM}) AS fp FROM aug
+),
+sizes AS (SELECT src, count(*) AS n FROM fps GROUP BY 1),
+pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+  FROM fps a JOIN fps b USING (fp)
+  WHERE a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+       {_SQL_FIX6.format(x="p.n_shared / (sa.n + sb.n - p.n_shared)")} AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.src = p.source_a
+JOIN sizes sb ON sb.src = p.source_b
+"""
+
+
+def q_quantized_embeddings(spark, sf_dir):
+    """int8 embedding quantization in exploded (vec_id, pos, q, scale)
+    form — the oracle-able face of the 4x-smaller storage table; the
+    codes are bit-deterministic (explicit floor(x+0.5) HALF-UP, exact
+    float→double widening on both engines) so the twin replays them
+    exactly rather than pinning a golden."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qe = similarity.quantize_embeddings(emb)
+    return qe.select(
+        "vec_id",
+        fix6(F.col("scale")).alias("scale"),
+        F.posexplode("qvec").alias("pos", "q"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("q").cast("int").alias("q"),
+        "scale",
+    )
+
+
+SQL_QUANTIZED_EMBEDDINGS = f"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+       CAST(CASE WHEN maxabs > 0
+                 THEN floor(CAST(unnest(embedding) AS DOUBLE) * 127 / maxabs + 0.5)
+                 ELSE 0 END AS INT) AS q,
+       {_SQL_FIX6.format(x="maxabs / 127")} AS scale
+FROM m
+"""
+
+
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility profile per language: chars-per-token and
+    tokens-per-doc — the corpus-audit numbers that decide tokenizer fit
+    and per-language token budgets (a lang at 6 chars/token costs 2x
+    the compute of one at 3 under the same char budget).  Row-local
+    token counts (zero shuffle) into one keyed agg; exact integer sums,
+    one division each (order-independent)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(dedup.normalized(F.col("text")), " "), lambda t: t != ""
+            )
+        ).cast("long").alias("n_tok"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        fix6(
+            F.when(
+                F.col("sum_tokens") > 0, F.col("sum_chars") / F.col("sum_tokens")
+            )
+        ).alias("chars_per_token"),
+        fix6(F.col("sum_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
+    )
+
+
+SQL_TOKEN_FERTILITY = f"""
+WITH per AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split({_SQL_NORM}, ' '), t -> t <> '')) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, sum_chars, sum_tokens,
+       CASE WHEN sum_tokens > 0
+            THEN {_SQL_FIX6.format(x="sum_chars / sum_tokens")} END AS chars_per_token,
+       {_SQL_FIX6.format(x="sum_tokens / n_docs")} AS tokens_per_doc
+FROM agg
+"""
+
+
 CATALOG: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     #
@@ -4669,6 +4875,11 @@ CATALOG: dict[str, tuple] = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "dup_spans_incremental": (q_dup_spans_incremental, SQL_DUP_SPANS_INCREMENTAL),
+    # round-5 late additions (below the window; oracle-verified in pytest)
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
+    "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),

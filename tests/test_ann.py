@@ -315,3 +315,39 @@ def test_text_ivf_recall_vs_brute(spark):
     recall = hits / total
     dense.unpersist()
     assert recall >= 0.9, f"text-IVF recall@5 too low: {recall:.2f}"
+
+
+def test_quantize_reconstruction_and_extremes(spark):
+    rows = [
+        (0, [0.5, -1.0, 0.25]),
+        (1, [0.0, 0.0, 0.0]),
+        (2, [3.0, 2.0, -4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qe = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    # zero vector: zero codes, zero scale (no NaN/div-by-zero leak)
+    assert qe[1]["scale"] == 0.0 and all(q == 0 for q in qe[1]["qvec"])
+    # the max-magnitude component uses the full int8 range
+    assert max(abs(q) for q in qe[2]["qvec"]) == 127
+    # reconstruction error bounded by scale/2 per component
+    orig = {r[0]: r[1] for r in rows}
+    for r in similarity.dequantize_embeddings(
+        similarity.quantize_embeddings(df)
+    ).collect():
+        s = qe[r["vec_id"]]["scale"]
+        for x, y in zip(orig[r["vec_id"]], r["embedding"]):
+            assert abs(x - y) <= s / 2 + 1e-12
+
+
+def test_quantized_recall_vs_brute(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+    deq = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    approx = _topk_sets(
+        similarity.brute_force_topk(
+            deq, deq.filter(F.col("vec_id") < 20), k=5
+        )
+    )
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    recall = hits / (len(exact) * 5)
+    assert recall >= 0.9, f"int8 recall@5 {recall}"

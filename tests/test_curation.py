@@ -502,3 +502,25 @@ def test_dup_spans_apply_equals_full_restriction(spark):
     )
     assert inc == full
     assert {t[0] for t in inc} == {3, 4}  # doc 5 is clean
+
+
+def test_source_overlap_planted(spark):
+    rows = [
+        (0, "x", "A"),
+        (1, "y", "A"),
+        (2, "z", "A"),
+        (7, "X  ", "A"),  # same normalized content as doc 0 — no new fp
+        (3, "x", "B"),
+        (4, "y", "B"),
+        (5, "w", "B"),
+        (6, "q", "C"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in curation.source_overlap(docs).collect()
+    }
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert r["n_shared"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["jaccard"] == pytest.approx(2 / 4)

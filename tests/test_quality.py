@@ -460,3 +460,38 @@ def test_remove_boilerplate_local_equals_antijoin_form(spark):
         for r in quality.remove_boilerplate_local(docs, stats, min_docs=2).collect()
     }
     assert a == b and b[3] == ""
+
+
+def test_perplexity_buckets_terciles(spark):
+    # one lang with three well-separated score tiers of 3 docs each
+    # (common tokens score high, unique gibberish low), plus a 3-doc
+    # second lang — boundaries must be computed per language.
+    rows = []
+    for i in range(3):
+        rows.append((i, "the the the the", "en"))  # high logprob tier
+        rows.append((3 + i, f"the mid{i} the", "en"))  # middle tier
+        rows.append((6 + i, f"zz{i}a zz{i}b zz{i}c zz{i}d", "en"))  # low tier
+    rows += [(9, "le le le", "fr"), (10, "le un", "fr"), (11, "uniq1 uniq2", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in quality.perplexity_buckets(docs).collect()}
+    assert len(got) == 12
+    # en: each tier lands in its own bucket
+    assert all(got[i]["bucket"] == "head" for i in range(3))
+    assert all(got[3 + i]["bucket"] == "middle" for i in range(3))
+    assert all(got[6 + i]["bucket"] == "tail" for i in range(3))
+    # fr terciles are independent of en's boundaries
+    assert (got[9]["bucket"], got[10]["bucket"], got[11]["bucket"]) == (
+        "head",
+        "middle",
+        "tail",
+    )
+    # bucket label must be monotone in the score within each lang
+    for lang in ("en", "fr"):
+        rank = {"head": 0, "middle": 1, "tail": 2}
+        rs = sorted(
+            (r for r in got.values() if r["lang"] == lang),
+            key=lambda r: -r["lp"],
+        )
+        assert [rank[r["bucket"]] for r in rs] == sorted(
+            rank[r["bucket"]] for r in rs
+        )

@@ -59,6 +59,12 @@ CROSS_OK = {
     # inside the vector build feeding the IVF probe (the probe itself
     # is an equi-join on list_id)
     "tfidf_incremental", "text_ann_topk_ivf",
+    # round 5 (late): remove_boilerplate_local attaches the ONE-ROW
+    # collected flagged-md5 set (the zero-shuffle apply form's whole
+    # point); perplexity_buckets inherits unigram_logprob's one-row
+    # doc-count (N) attach — the tercile boundaries themselves join
+    # back as a per-language broadcast equi-join
+    "remove_boilerplate_local", "perplexity_buckets",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
