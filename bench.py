@@ -109,6 +109,13 @@ EXTRA = [
     # round-5 (late): cross-document boilerplate-line filter (CCNet/
     # RefinedWeb shared-line step; dedup_lines' corpus-wide sibling)
     "remove_boilerplate",
+    # round-5 (late): CCNet perplexity terciles, cross-source overlap
+    # audit, int8 embedding storage codes, tokenizer fertility profile
+    "perplexity_buckets",
+    "bucket_apply",
+    "source_overlap",
+    "quantized_embeddings",
+    "token_fertility",
 ]
 
 

@@ -1028,3 +1028,79 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
     )
     return out.select(id_col, lang_col, "lp", bucket.alias("bucket"))
+
+
+def perplexity_bucket_bounds(
+    documents: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The FIXED-ARTIFACT half of CCNet bucketing: per-language tercile
+    boundaries of the :func:`score_with_unigram_model` score over a
+    reference corpus — rows ``(lang, p_lo, p_hi)``, a languages-sized
+    table.  CCNet computes its cutoffs once on a reference Wikipedia/
+    CommonCrawl slice and ships them; new deliveries are then labeled
+    against the FROZEN cutoffs (:func:`bucket_with_bounds`) without
+    re-deriving quantiles over the whole corpus — the same
+    build-once/apply-forever split as :func:`unigram_model` /
+    :func:`score_with_unigram_model`.
+
+    Scores land on the 1e-6 grid before the quantile (same determinism
+    contract as :func:`perplexity_buckets`)."""
+    lp = score_with_unigram_model(
+        documents, model, text_col=text_col, id_col=id_col
+    )
+    scored = documents.select(id_col, lang_col).join(
+        lp.select(
+            id_col,
+            (F.floor(F.col("logprob") * 1000000 + F.lit(0.5)) / 1000000).alias("lp"),
+        ),
+        on=id_col,
+    )
+    return scored.groupBy(lang_col).agg(
+        F.expr("percentile(lp, CAST(1 AS DOUBLE)/3)").alias("p_lo"),
+        F.expr("percentile(lp, CAST(2 AS DOUBLE)/3)").alias("p_hi"),
+    )
+
+
+def bucket_with_bounds(
+    documents: DataFrame,
+    model: DataFrame,
+    bounds: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Label a delivery head/middle/tail against FROZEN artifacts (LM
+    head + per-language tercile bounds): score via
+    :func:`score_with_unigram_model` (explode + broadcast joins, doc
+    completes within its input rows), broadcast-join the
+    languages-sized bounds, compare map-side.  No quantile, no corpus
+    rescan, no state — runs UNCHANGED on a streaming frame under
+    foreachBatch, which is how a maintained reference artifact labels
+    live deliveries (tested stream == batch + apply == full-build on
+    the same corpus).
+
+    A language absent from ``bounds`` (never seen when the artifact was
+    built) labels NULL rather than guessing — surface, don't silently
+    misfile."""
+    lp = score_with_unigram_model(
+        documents, model, text_col=text_col, id_col=id_col
+    )
+    scored = documents.select(id_col, lang_col).join(
+        lp.select(
+            id_col,
+            (F.floor(F.col("logprob") * 1000000 + F.lit(0.5)) / 1000000).alias("lp"),
+        ),
+        on=id_col,
+    )
+    out = scored.join(F.broadcast(_pin_artifact(bounds)), on=lang_col, how="left")
+    bucket = (
+        F.when(F.col("p_hi").isNull(), F.lit(None).cast("string"))
+        .when(F.col("lp") >= F.col("p_hi"), F.lit("head"))
+        .when(F.col("lp") >= F.col("p_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(id_col, lang_col, "lp", bucket.alias("bucket"))

@@ -4734,6 +4734,64 @@ FROM m
 """
 
 
+def q_bucket_apply(spark, sf_dir):
+    """CCNet bucketing as a maintained-artifact apply (the deployable
+    form of perplexity_buckets): FROZEN unigram-model head + per-lang
+    tercile bounds, both built over the full corpus, label an
+    md5-banded "new delivery" with no quantile and no corpus rescan —
+    the same build-once/apply-forever split as tfidf_incremental, and
+    the stateless streaming drop-in is proven in
+    tests/test_streaming_quality.py::test_bucket_apply_stream_equals_batch.
+    The oracle rebuilds model, scores, and bounds from scratch and
+    restricts to the delivery."""
+    docs = _t(spark, sf_dir, "documents")
+    model = quality.unigram_model(docs, vocab_size=_UNIGRAM_VOCAB)
+    bounds = quality.perplexity_bucket_bounds(docs, model)
+    arrivals = docs.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    return quality.bucket_with_bounds(arrivals, model, bounds)
+
+
+SQL_BUCKET_APPLY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+tc AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM tc),
+head AS (
+  SELECT tok, ln(cnt / n_total) AS lp FROM tc CROSS JOIN total
+  ORDER BY cnt DESC, tok ASC LIMIT {_UNIGRAM_VOCAB}
+),
+oov AS (SELECT ln(0.5 / n_total) AS oov_lp FROM total),
+lps AS (
+  SELECT doc_id,
+         {_SQL_FIX6.format(x="sum(coalesce(lp, oov_lp)) / count(*)")} AS lp
+  FROM t2 LEFT JOIN head USING (tok) CROSS JOIN oov
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, lps.lp FROM documents d JOIN lps USING (doc_id)
+),
+bounds AS (
+  SELECT lang,
+         quantile_cont(lp, CAST(1 AS DOUBLE)/3) AS p_lo,
+         quantile_cont(lp, CAST(2 AS DOUBLE)/3) AS p_hi
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.lp,
+       CASE WHEN s.lp >= b.p_hi THEN 'head'
+            WHEN s.lp >= b.p_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN bounds b USING (lang)
+WHERE substring(md5('inc:' || s.doc_id), 1, 1) < '8'
+"""
+
+
 def q_token_fertility(spark, sf_dir):
     """Tokenizer fertility profile per language: chars-per-token and
     tokens-per-doc — the corpus-audit numbers that decide tokenizer fit
@@ -4877,6 +4935,7 @@ CATALOG: dict[str, tuple] = {
     "dup_spans_incremental": (q_dup_spans_incremental, SQL_DUP_SPANS_INCREMENTAL),
     # round-5 late additions (below the window; oracle-verified in pytest)
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "bucket_apply": (q_bucket_apply, SQL_BUCKET_APPLY),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
     "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),

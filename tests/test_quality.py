@@ -495,3 +495,42 @@ def test_perplexity_buckets_terciles(spark):
         assert [rank[r["bucket"]] for r in rs] == sorted(
             rank[r["bucket"]] for r in rs
         )
+
+
+def _tiered_docs(spark):
+    rows = []
+    for i in range(3):
+        rows.append((i, "the the the the", "en"))
+        rows.append((3 + i, f"the mid{i} the", "en"))
+        rows.append((6 + i, f"zz{i}a zz{i}b zz{i}c zz{i}d", "en"))
+    rows += [(9, "le le le", "fr"), (10, "le un", "fr"), (11, "uniq1 uniq2", "fr")]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_bucket_with_bounds_full_vocab_equals_self_buckets(spark):
+    # with the model head covering the whole vocabulary, the artifact
+    # score equals the self-corpus unigram_logprob, so the frozen-bounds
+    # apply must reproduce perplexity_buckets exactly
+    docs = _tiered_docs(spark)
+    model = quality.unigram_model(docs, vocab_size=10_000)
+    bounds = quality.perplexity_bucket_bounds(docs, model)
+    applied = {
+        r["doc_id"]: (r["lang"], r["lp"], r["bucket"])
+        for r in quality.bucket_with_bounds(docs, model, bounds).collect()
+    }
+    full = {
+        r["doc_id"]: (r["lang"], r["lp"], r["bucket"])
+        for r in quality.perplexity_buckets(docs).collect()
+    }
+    assert applied == full
+
+
+def test_bucket_with_bounds_unseen_lang_is_null(spark):
+    docs = _tiered_docs(spark)
+    model = quality.unigram_model(docs, vocab_size=10_000)
+    bounds = quality.perplexity_bucket_bounds(docs, model)
+    delivery = spark.createDataFrame(
+        [(100, "the the mid0", "de")], "doc_id long, text string, lang string"
+    )
+    rows = quality.bucket_with_bounds(delivery, model, bounds).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] is None

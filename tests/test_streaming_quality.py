@@ -375,3 +375,39 @@ def test_remove_boilerplate_stream_equals_batch(spark, tmp_path):
     want = quality.remove_boilerplate(docs, min_docs=2, stats=stats).collect()
     assert _keyed(got) == _keyed(want)
     assert len(got) == 20
+
+
+def test_bucket_apply_stream_equals_batch(spark, tmp_path):
+    """CCNet bucketing as a maintained-artifact apply: FROZEN model head
+    + per-language tercile bounds label live deliveries inside
+    foreachBatch with no state, no quantile, no corpus rescan — the
+    union of batch outputs equals the batch apply over the full input."""
+    src, docs = _write_batched(spark, tmp_path)
+    model = quality.unigram_model(docs, vocab_size=150).cache()
+    model.count()
+    bounds = quality.perplexity_bucket_bounds(docs, model).cache()
+    bounds.count()
+
+    got_rows = []
+
+    def sink(batch_df, _bid):
+        got_rows.extend(
+            quality.bucket_with_bounds(batch_df, model, bounds).collect()
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_buckets"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+
+    want = quality.bucket_with_bounds(docs, model, bounds).collect()
+    g = {r["doc_id"]: (r["lang"], r["lp"], r["bucket"]) for r in got_rows}
+    w = {r["doc_id"]: (r["lang"], r["lp"], r["bucket"]) for r in want}
+    assert g == w and len(g) == docs.count()
+    assert {"head", "middle", "tail"} <= {b for (_l, _p, b) in g.values()}

@@ -65,6 +65,8 @@ CROSS_OK = {
     # doc-count (N) attach — the tercile boundaries themselves join
     # back as a per-language broadcast equi-join
     "remove_boilerplate_local", "perplexity_buckets",
+    # bucket_apply inherits unigram_model_score's one-row OOV-floor attach
+    "bucket_apply",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
