@@ -116,6 +116,7 @@ EXTRA = [
     "source_overlap",
     "quantized_embeddings",
     "token_fertility",
+    "curation_funnel",
 ]
 
 

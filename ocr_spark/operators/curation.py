@@ -733,6 +733,26 @@ def curate_corpus(
     scales beyond executor storage, stage d1 to parquet instead (the
     jobs/curate.py manifest sink already is that staging table).
     """
+    return _curation_stages(
+        documents,
+        bench,
+        quality_min=quality_min,
+        near_dup_threshold=near_dup_threshold,
+        max_bucket=max_bucket,
+        n=n,
+    )["decontaminated"]
+
+
+def _curation_stages(
+    documents: DataFrame,
+    bench: DataFrame,
+    quality_min: float,
+    near_dup_threshold: float,
+    max_bucket: int | None,
+    n: int,
+) -> dict[str, DataFrame]:
+    """The :func:`curate_corpus` chain with every intermediate stage
+    exposed (shared by the funnel report — same frames, same persist)."""
     ts = with_textstats(documents)
     good = documents.join(
         ts.filter(F.col("quality") >= quality_min).select("doc_id"),
@@ -746,7 +766,53 @@ def curate_corpus(
         d1, threshold=near_dup_threshold, max_bucket=max_bucket
     )
     d2 = dedup.near_dup_keep_one(d1, pairs)
-    return decontaminate(d2, bench, n=n)
+    return {
+        "input": documents,
+        "quality": good,
+        "exact_dedup": d1,
+        "near_dup": d2,
+        "decontaminated": decontaminate(d2, bench, n=n),
+    }
+
+
+def curation_funnel(
+    documents: DataFrame,
+    bench: DataFrame,
+    quality_min: float = 0.4,
+    near_dup_threshold: float = 0.5,
+    max_bucket: int | None = None,
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Per-stage survivor counts for the :func:`curate_corpus` chain —
+    the filter-funnel report every real curation run ships (what
+    fraction did the quality gate cost? did dedup or decontamination
+    dominate?), as rows ``(stage, n_docs)`` with a numeric prefix
+    fixing the pipeline order.
+
+    Built on the SAME stage frames as curate_corpus (shared persist on
+    the quality-gated deduped frame; near-dup pairs are checkpointed
+    inside near_dup_pairs), so the marginal cost over running the
+    pipeline once is one count branch per stage, and a drift between
+    this report and the pipeline output is impossible by construction.
+    """
+    stages = _curation_stages(
+        documents,
+        bench,
+        quality_min=quality_min,
+        near_dup_threshold=near_dup_threshold,
+        max_bucket=max_bucket,
+        n=n,
+    )
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(f"{i}_{name}").alias("stage"), "n_docs"
+        )
+        for i, (name, df) in enumerate(stages.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def weighted_sample(

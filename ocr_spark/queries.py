@@ -2313,9 +2313,9 @@ def q_corpus_curation(spark, sf_dir):
     ).select("doc_id")
 
 
-SQL_CORPUS_CURATION = f"""
-WITH RECURSIVE
-ts AS ({_sql_textstats()}),
+# the full curation chain's CTEs (shared by the survivor query and the
+# per-stage funnel report — one construction, two final SELECTs)
+_SQL_CURATION_CTES = f"""ts AS ({_sql_textstats()}),
 good AS (
   SELECT d.doc_id, d.text FROM documents d JOIN ts ON d.doc_id = ts.doc_id
   WHERE ts.quality >= {_CURATION_QUALITY_MIN}
@@ -2338,8 +2338,22 @@ losers AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING min(m) <> node)
 d2 AS (SELECT doc_id, text FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
 dg AS ({_sql_word_grams("d2", "doc_id", "doc_id")}),
 bg AS ({_sql_word_grams(_SQL_BENCH_SRC, f"doc_id + {_BENCH_OFFSET}", "bench_id")}),
-bad AS (SELECT DISTINCT d.doc_id FROM dg d JOIN bg b USING (g))
+bad AS (SELECT DISTINCT d.doc_id FROM dg d JOIN bg b USING (g))"""
+
+SQL_CORPUS_CURATION = f"""
+WITH RECURSIVE
+{_SQL_CURATION_CTES}
 SELECT doc_id FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+SQL_CURATION_FUNNEL = f"""
+WITH RECURSIVE
+{_SQL_CURATION_CTES}
+SELECT '0_input' AS stage, count(*) AS n_docs FROM documents
+UNION ALL SELECT '1_quality', count(*) FROM good
+UNION ALL SELECT '2_exact_dedup', count(*) FROM d1
+UNION ALL SELECT '3_near_dup', count(*) FROM d2
+UNION ALL SELECT '4_decontaminated', count(*) FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
@@ -4792,6 +4806,23 @@ WHERE substring(md5('inc:' || s.doc_id), 1, 1) < '8'
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Per-stage survivor counts of the end-to-end curation chain (the
+    filter-funnel report every production run ships): input -> quality
+    gate -> exact dedup -> near-dup keep-one -> decontamination. Same
+    stage frames as corpus_curation (shared persist), so the report can
+    never drift from the pipeline; the twin re-derives every stage from
+    its own SQL primitives and counts them."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.curation_funnel(
+        docs,
+        _bench(docs),
+        quality_min=_CURATION_QUALITY_MIN,
+        near_dup_threshold=0.5,
+        max_bucket=LSH_MAX_BUCKET,
+    )
+
+
 def q_token_fertility(spark, sf_dir):
     """Tokenizer fertility profile per language: chars-per-token and
     tokens-per-doc — the corpus-audit numbers that decide tokenizer fit
@@ -4939,6 +4970,7 @@ CATALOG: dict[str, tuple] = {
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
     "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
