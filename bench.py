@@ -117,6 +117,7 @@ EXTRA = [
     "quantized_embeddings",
     "token_fertility",
     "curation_funnel",
+    "cluster_cap_sample",
 ]
 
 

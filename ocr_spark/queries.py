@@ -4806,6 +4806,52 @@ WHERE substring(md5('inc:' || s.doc_id), 1, 1) < '8'
 """
 
 
+_CLUSTER_CAP = 2
+
+
+def q_cluster_cap_sample(spark, sf_dir):
+    """Diversity (cluster-balanced) sampling: at most _CLUSTER_CAP docs
+    per near-dup cluster — the softer alternative to keep-one when
+    near-duplicates still carry value (SemDeDup keeps one, C4 caps per
+    domain; this caps per CONTENT cluster). Pure composition of two
+    driver-green operators: dedup_clusters labels the pair-involved
+    docs (singletons label themselves), then cap_per_group's
+    rank-preserving bucketed draw keeps the K smallest salted-md5 draws
+    per cluster — deterministic, no per-cluster global sort, hot
+    clusters split across 256 sub-partitions."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5, max_bucket=LSH_MAX_BUCKET)
+    clusters = dedup.dedup_clusters(pairs)
+    labeled = docs.select("doc_id").join(clusters, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    return curation.cap_per_group(
+        labeled, "cluster_id", max_rows=_CLUSTER_CAP, id_col="doc_id"
+    )
+
+
+SQL_CLUSTER_CAP_SAMPLE = (
+    _SQL_CLUSTERS_CTE
+    + f""",
+labels AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d
+  LEFT JOIN (
+    SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+  ) c USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM labels
+)
+SELECT doc_id, cluster_id FROM keyed WHERE rn <= {_CLUSTER_CAP}"""
+)
+
+
 def q_curation_funnel(spark, sf_dir):
     """Per-stage survivor counts of the end-to-end curation chain (the
     filter-funnel report every production run ships): input -> quality
@@ -4971,6 +5017,7 @@ CATALOG: dict[str, tuple] = {
     "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
     "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "cluster_cap_sample": (q_cluster_cap_sample, SQL_CLUSTER_CAP_SAMPLE),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
