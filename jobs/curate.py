@@ -73,6 +73,19 @@ def main() -> None:
     )
     ap.add_argument("--dsir-n", type=int, default=10_000)
     ap.add_argument(
+        "--bucket-by-perplexity",
+        action="store_true",
+        help="label survivors head/middle/tail by per-language terciles "
+        "of the corpus-LM quality score (CCNet bucketing; adds lp + "
+        "bucket columns so downstream mixing can sample head-heavy)",
+    )
+    ap.add_argument(
+        "--funnel",
+        action="store_true",
+        help="also report per-stage survivor counts (quality gate / "
+        "exact dedup / near-dup / decontamination) in the stats JSON",
+    )
+    ap.add_argument(
         "--split",
         default=None,
         help="label survivors with a deterministic dataset split, e.g. "
@@ -128,6 +141,19 @@ def main() -> None:
         survivors = survivors.join(
             picked.select("doc_id"), on="doc_id", how="left_semi"
         )
+    if args.bucket_by_perplexity:
+        from ocr_spark.operators import quality
+
+        labels = quality.perplexity_buckets(survivors)
+        # 'bucket' is the manifest sink's own hash-bucketing column —
+        # the label must travel under a non-colliding name
+        survivors = survivors.join(
+            labels.select(
+                "doc_id", "lp", F.col("bucket").alias("ppl_bucket")
+            ),
+            on="doc_id",
+            how="left",
+        )
     if args.split:
         fractions = {
             k: float(v)
@@ -144,6 +170,16 @@ def main() -> None:
     )
     stats["wall_sec"] = round(time.monotonic() - t0, 3)
     stats["input_docs"] = docs.count()
+    if args.funnel:
+        funnel = curation.curation_funnel(
+            docs,
+            bench.select("bench_id", "text"),
+            quality_min=args.quality_min,
+            near_dup_threshold=args.threshold,
+            max_bucket=args.max_bucket,
+            n=args.ngram,
+        )
+        stats["funnel"] = {r["stage"]: r["n_docs"] for r in funnel.collect()}
     print(json.dumps(stats))
 
 

@@ -429,6 +429,16 @@ def checkpointed_write(
     Already-manifested buckets for this input_snapshot are skipped
     (resume semantics); the epoch id isolates this attempt's files.
     """
+    # 'bucket' / 'epoch' / 'input_snapshot' are the sink's own layout
+    # columns: withColumn would silently REPLACE a same-named user
+    # column and readers strip it — data loss, not an error, unless
+    # caught here (found via a curate-job label column named 'bucket')
+    reserved = {"bucket", "epoch", "input_snapshot"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} are reserved by the manifest "
+            "sink layout; rename them before writing"
+        )
     epoch = uuid.uuid4().hex[:16]
     _write_table_meta(
         out_dir, n_buckets, salt, key_col, df.schema[key_col].dataType.simpleString()

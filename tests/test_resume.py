@@ -196,3 +196,18 @@ def test_manifest_metrics_present(spark, tmp_path):
     assert (m["byte_count"] > 0).all()
     assert m["lineage_hash"].notna().all()
     assert m["bucket"].is_unique
+
+
+def test_reserved_layout_columns_rejected(spark, tmp_path):
+    """A user column named after a sink layout column (bucket/epoch/
+    input_snapshot) would be silently replaced by withColumn and
+    stripped by readers — the writer must refuse instead."""
+    import pytest as _pytest
+
+    from ocr_spark.sources.manifests import checkpointed_write
+
+    df = spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, bucket int"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        checkpointed_write(spark, df, str(tmp_path / "t"), 4, "s1")
