@@ -4988,13 +4988,19 @@ CATALOG: dict[str, tuple] = {
     "pack_chunks_shuffled": (q_pack_chunks_shuffled, SQL_PACK_CHUNKS_SHUFFLED),
     # -- re-confirmation slots: once-green family representatives
     "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN_TOPK),
-    "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),
-    "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
+    # round-5 (late) window swap: five NEW-FAMILY rows take the slots of
+    # five twice-driver-green re-confirmations (ivfadc_ann_topk,
+    # semantic_dup_pairs, pruned_scan, bloom_point_lookup,
+    # substring_dedup — all green in r04, moved below the window) so
+    # CORRECTNESS_r05 hard-checks the late additions; pq_ann_topk,
+    # time_travel, and corpus_curation stay as family re-confirmations.
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "bucket_apply": (q_bucket_apply, SQL_BUCKET_APPLY),
+    "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
-    "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
-    "bloom_point_lookup": (q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
-    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     # NEW in round 5 (late): maximal duplicated-run spans, inserted at
     # index 48 so it gets its first driver check this round. The
     # insertion displaced incremental_exact_dedup and pack_chunks (both
@@ -5010,14 +5016,15 @@ CATALOG: dict[str, tuple] = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "dup_spans_incremental": (q_dup_spans_incremental, SQL_DUP_SPANS_INCREMENTAL),
-    # round-5 late additions (below the window; oracle-verified in pytest)
-    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
-    "bucket_apply": (q_bucket_apply, SQL_BUCKET_APPLY),
-    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
-    "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
+    # round-5 late additions below the window (oracle-verified in pytest);
+    # the displaced twice-green re-confirmations live here too
     "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
-    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "cluster_cap_sample": (q_cluster_cap_sample, SQL_CLUSTER_CAP_SAMPLE),
+    "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),
+    "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
+    "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),
+    "bloom_point_lookup": (q_bloom_point_lookup, SQL_BLOOM_POINT_LOOKUP),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
