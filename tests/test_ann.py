@@ -351,3 +351,22 @@ def test_quantized_recall_vs_brute(spark, emb):
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     recall = hits / (len(exact) * 5)
     assert recall >= 0.9, f"int8 recall@5 {recall}"
+
+
+def test_quantized_ivf_composition_recall(spark, emb):
+    """The int8 STORAGE table must feed the INDEX path unchanged:
+    dequantize → ivf_topk, recall@5 vs the float brute baseline — the
+    production composition (vectors at rest int8, probes over the
+    reconstruction)."""
+    exact = _topk_sets(
+        similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    )
+    deq = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    approx = _topk_sets(
+        similarity.ivf_topk(
+            deq, deq.filter(F.col("vec_id") < 20), k=5, n_lists=8, nprobe=4
+        )
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * 5)
+    assert recall >= 0.6, f"int8+IVF recall@5 {recall}"
