@@ -912,9 +912,18 @@ def source_overlap(
         )
         .distinct()
     )
+    return overlap_from_fps(fps)
+
+
+def overlap_from_fps(fps: DataFrame) -> DataFrame:
+    """The overlap matrix over any distinct ``(src, fp)`` frame — split
+    out so a MAINTAINED fingerprint table (the streaming state
+    ``ocr_spark.streaming.curation.fp_stats_stream_writer`` keeps warm,
+    or a batch-written fingerprint sidecar) feeds the same audit
+    without re-fingerprinting the corpus."""
     from pyspark import StorageLevel
 
-    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    fps = fps.select("src", "fp").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     sizes = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         fps.alias("a")

@@ -103,3 +103,55 @@ def ngram_stats_stream_writer(
             n_files=n_files,
         )
     )
+
+
+def fp_stats_stream_writer(
+    stream_docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    state_dir: str = "",
+    n_files: int = 1,
+):
+    """``writeStream`` writer maintaining the distinct content-
+    fingerprint table ``(src, fp, cnt)`` of a document stream — the
+    statistic :func:`ocr_spark.operators.curation.source_overlap`
+    audits. Presence is what matters (``cnt`` just rides the additive
+    merge machinery): a (src, fp) pair seen in ANY delivery stays in
+    the state, so :func:`source_overlap_from_state` audits the WHOLE
+    committed corpus after each delivery without rescanning it.
+    Idempotent HEAD-commit merges make replayed micro-batches no-ops;
+    state size is the distinct (source, content) count — raise
+    ``n_files`` to keep merges partitioned at scale."""
+    from ocr_spark.streaming.sketch import _merge_batch
+
+    if not state_dir:
+        raise ValueError("fp_stats_stream_writer needs a state_dir")
+
+    def _fps(b: DataFrame) -> DataFrame:
+        return (
+            b.select(
+                F.col(group_col).alias("src"),
+                F.md5(normalized(F.col(text_col))).alias("fp"),
+            )
+            .distinct()
+            .withColumn("cnt", F.lit(1).cast("long"))
+        )
+
+    return stream_docs.writeStream.foreachBatch(
+        lambda df, bid: _merge_batch(
+            df, bid, state_dir, _fps, ["src", "fp"], n_files=n_files
+        )
+    )
+
+
+def source_overlap_from_state(spark, state_dir: str) -> DataFrame | None:
+    """The cross-source overlap matrix over the maintained fingerprint
+    state — equal to batch ``source_overlap`` over everything committed
+    so far (tested), at the cost of the matrix computation only."""
+    from ocr_spark.operators.curation import overlap_from_fps
+    from ocr_spark.streaming.sketch import read_sketch_state
+
+    fps = read_sketch_state(spark, state_dir)
+    if fps is None:
+        return None
+    return overlap_from_fps(fps.select("src", "fp"))

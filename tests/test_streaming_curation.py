@@ -129,3 +129,53 @@ def test_incremental_dup_spans_loop_end_to_end(spark, tmp_path):
         .collect()
     )
     assert inc == rebuild and len(inc) > 0
+
+
+def test_fp_state_feeds_source_overlap(spark, tmp_path):
+    """The maintained (src, fp) state after draining equals batch
+    source_overlap over the full committed input — the overlap audit as
+    a warm statistic, never a corpus rescan."""
+    from ocr_spark.operators import curation
+    from ocr_spark.streaming.curation import (
+        fp_stats_stream_writer,
+        source_overlap_from_state,
+    )
+    from ocr_spark.streaming.sketch import read_head
+
+    rows = []
+    # two "crawls" sharing half their content + a disjoint third source
+    for i in range(20):
+        rows.append((i, f"shared text {i % 10}", "crawlA"))
+        rows.append((100 + i, f"shared text {i % 10}" if i < 10 else f"only b {i}", "crawlB"))
+        rows.append((200 + i, f"only c {i}", "crawlC"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    src = str(tmp_path / "src")
+    docs.withColumn("_b", F.col("doc_id") % 4).repartition(4, "_b").drop(
+        "_b"
+    ).write.mode("overwrite").parquet(src)
+
+    state = str(tmp_path / "fp_state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        fp_stats_stream_writer(stream, state_dir=state)
+        .option("checkpointLocation", str(tmp_path / "ck_fp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+    assert read_head(state)["last_batch_id"] >= 1  # crossed batch bounds
+
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+        for r in source_overlap_from_state(spark, state).collect()
+    }
+    want = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+        for r in curation.source_overlap(docs).collect()
+    }
+    assert got == want and ("crawlA", "crawlB") in got
+    assert got[("crawlA", "crawlB")][0] == 10
