@@ -118,6 +118,10 @@ EXTRA = [
     "token_fertility",
     "curation_funnel",
     "cluster_cap_sample",
+    # round-5 (late): temperature-scaled mixture plan + deterministic
+    # shuffled-shards training layout
+    "domain_mixture",
+    "shuffle_shards",
 ]
 
 

@@ -955,3 +955,118 @@ def overlap_from_fps(fps: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# training-mix planning + deterministic global shuffle
+# --------------------------------------------------------------------------
+
+
+def domain_mixture(
+    documents: DataFrame,
+    *,
+    token_budget: int,
+    temperature: float = 0.7,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain-mixture plan (the XLM-R / mT5 / GPT-3
+    data-mixing recipe): given per-source token masses ``n_s``, sample
+    source ``s`` with weight ``w_s ∝ (n_s / N)^T`` and allocate a token
+    budget ``B`` as ``floor(B · w_s)``, reporting the implied
+    epochs-per-source ``alloc_s / n_s`` (how many times each source is
+    repeated — the number a run config actually consumes).
+
+    ``T = 1`` reproduces natural proportions; ``T → 0`` approaches
+    uniform-over-sources; the conventional ``T ≈ 0.7`` boosts the tail
+    without flattening the head.
+
+    Scale shape: ONE corpus pass (row-local whitespace token counts →
+    one map-side-combined keyed agg down to S = |sources| rows); all
+    mixture math runs on that persisted S-row frame, with the two
+    cross-row scalars (total tokens, weight denominator) computed as
+    1-row aggs broadcast back. The corpus is touched exactly once at
+    any scale.
+
+    Determinism contract (engine-portable, like every sampler in this
+    module): the temperature-scaled shares are snapped to a 1e12 grid
+    BEFORE the denominator sum, so the weights are ratios of exact
+    integers — Spark and the SQL twin agree bit-for-bit regardless of
+    partitioning or summation order.
+    """
+    from pyspark import StorageLevel
+
+    toks = F.size(
+        F.filter(F.split(dedup.normalized(F.col(text_col)), " "), lambda t: t != "")
+    ).cast("long")
+    agg = (
+        documents.select(F.col(group_col).alias("grp"), toks.alias("n_tok"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = agg.agg(F.sum("n_tokens").alias("total_tokens"))
+    scaled = agg.crossJoin(F.broadcast(total)).withColumn(
+        "p_grid",
+        F.floor(
+            F.pow(F.col("n_tokens") / F.col("total_tokens"), F.lit(float(temperature)))
+            * F.lit(1e12)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    denom = scaled.agg(F.sum("p_grid").alias("p_denom"))
+    budget = F.lit(int(token_budget)).cast("double")
+    weight = F.col("p_grid") / F.col("p_denom")
+    alloc = F.floor(budget * weight).cast("long")
+    return scaled.crossJoin(F.broadcast(denom)).select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens")).alias("raw_share"),
+        weight.alias("weight"),
+        alloc.alias("tokens_alloc"),
+        F.when(F.col("n_tokens") > 0, alloc / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+SHUFFLE_ALPHABET = "0123456789abcdef"
+
+
+def shuffle_shards(
+    documents: DataFrame,
+    *,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a 16-way
+    ``shard`` and a dense 1-based ``pos`` within its shard, both pure
+    functions of ``(salt, seed, id)`` — the reproducible random order a
+    training run needs, with none of ``orderBy(rand())``'s
+    re-deal-on-retry hazard (a Spark stage retry re-draws ``rand()``;
+    an md5 draw cannot change).
+
+    The shard is the first hex digit of ``md5(salt:seed:id)`` (16
+    shards here; k digits → 16^k shards at scale), and the within-shard
+    order is the remaining hash — i.e. the standard shuffled-shards
+    layout training loaders consume (pick shards in any order, stream
+    each sequentially; the composition is a uniform shuffle of the
+    corpus).
+
+    Scale shape: one shuffle on ``shard`` with a partition-local sort —
+    at 100 TB you raise the digit count so each shard is
+    writer-task-sized and write with ``repartition(n, shard)`` +
+    ``sortWithinPartitions(_k)``; no global sort ever happens. The
+    catalog form materializes ``pos`` via a per-shard window so the
+    oracle can replay the exact layout.
+    """
+    key = F.md5(F.concat(F.lit(f"{salt}:{seed}:"), F.col(id_col).cast("string")))
+    keyed = documents.select(F.col(id_col), key.alias("_k")).withColumn(
+        "shard",
+        (F.instr(F.lit(SHUFFLE_ALPHABET), F.substring("_k", 1, 1)) - 1).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

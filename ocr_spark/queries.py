@@ -4925,6 +4925,80 @@ FROM agg
 """
 
 
+_MIX_BUDGET = 1_000_000
+_MIX_TEMPERATURE = 0.7
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-scaled domain-mixture plan (XLM-R/mT5/GPT-3 data
+    mixing): per-source token mass → sampling weight ∝ share^0.7 →
+    token allocation under a 1M budget → implied epochs per source.
+    One corpus pass; all mixture math on the S-row agg with 1e12-grid
+    integer weights so both engines agree bit-for-bit (see
+    curation.domain_mixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = curation.domain_mixture(
+        docs, token_budget=_MIX_BUDGET, temperature=_MIX_TEMPERATURE
+    )
+    return m.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        fix6(F.col("raw_share")).alias("raw_share"),
+        fix6(F.col("weight")).alias("weight"),
+        "tokens_alloc",
+        fix6(F.col("epochs")).alias("epochs"),
+    )
+
+
+SQL_DOMAIN_MIXTURE = f"""
+WITH per AS (
+  SELECT source,
+         len(list_filter(string_split({_SQL_NORM}, ' '), t -> t <> '')) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM agg),
+p AS (
+  SELECT agg.*, total_tokens,
+         CAST(floor(pow(n_tokens / total_tokens, {_MIX_TEMPERATURE}) * 1e12 + 0.5) AS BIGINT) AS p_grid
+  FROM agg, tot
+),
+d AS (SELECT CAST(sum(p_grid) AS BIGINT) AS p_denom FROM p)
+SELECT source, n_docs, n_tokens,
+       {_SQL_FIX6.format(x="n_tokens / total_tokens")} AS raw_share,
+       {_SQL_FIX6.format(x="p_grid / p_denom")} AS weight,
+       CAST(floor({_MIX_BUDGET} * (p_grid / p_denom)) AS BIGINT) AS tokens_alloc,
+       CASE WHEN n_tokens > 0 THEN {_SQL_FIX6.format(x=f"floor({_MIX_BUDGET} * (p_grid / p_denom)) / n_tokens")} END AS epochs
+FROM p, d
+"""
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global training shuffle: 16-way shard + dense
+    within-shard position, both pure functions of md5('shuf:0:'||id) —
+    the reproducible shuffled-shards layout a training loader consumes
+    (stage-retry-safe, unlike orderBy(rand())). One shuffle on shard,
+    partition-local sort (see curation.shuffle_shards)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.shuffle_shards(docs)
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH k AS (
+  SELECT doc_id, md5('shuf:0:' || CAST(doc_id AS VARCHAR)) AS _k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(_k, 1, 1)) - 1 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(_k, 1, 1) ORDER BY _k, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+
 CATALOG: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     #
@@ -5020,6 +5094,8 @@ CATALOG: dict[str, tuple] = {
     # the displaced twice-green re-confirmations live here too
     "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
     "cluster_cap_sample": (q_cluster_cap_sample, SQL_CLUSTER_CAP_SAMPLE),
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),
     "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
     "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),

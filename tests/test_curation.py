@@ -524,3 +524,80 @@ def test_source_overlap_planted(spark):
     r = got[("A", "B")]
     assert r["n_shared"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
     assert r["jaccard"] == pytest.approx(2 / 4)
+
+
+# --------------------------------------------------------------------------
+# domain mixture + deterministic global shuffle
+# --------------------------------------------------------------------------
+
+
+def _src_docs(spark):
+    rows = [
+        # src A: 3 docs x 4 tokens; src B: 1 doc x 8 tokens; src C: 1 doc x 2
+        (0, "a b c d", "A"),
+        (1, "e f g h", "A"),
+        (2, "i j k l", "A"),
+        (3, "m n o p q r s t", "B"),
+        (4, "u v", "C"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_domain_mixture_temperature_one_is_natural(spark):
+    docs = _src_docs(spark)
+    m = {
+        r["source"]: r
+        for r in curation.domain_mixture(
+            docs, token_budget=22_000, temperature=1.0
+        ).collect()
+    }
+    assert m["A"]["n_tokens"] == 12 and m["B"]["n_tokens"] == 8 and m["C"]["n_tokens"] == 2
+    for r in m.values():
+        # T=1: weight reproduces the raw share (both via the 1e12 grid)
+        assert r["weight"] == pytest.approx(r["raw_share"], abs=1e-9)
+    # allocation is floor(budget * weight): within one budget-ulp of natural
+    assert m["A"]["tokens_alloc"] == pytest.approx(12_000, abs=1)
+    assert m["C"]["epochs"] == pytest.approx(m["C"]["tokens_alloc"] / 2, abs=1e-9)
+
+
+def test_domain_mixture_temperature_boosts_tail(spark):
+    docs = _src_docs(spark)
+    m = {
+        r["source"]: r
+        for r in curation.domain_mixture(
+            docs, token_budget=22_000, temperature=0.5
+        ).collect()
+    }
+    # T<1 moves mass from the head (A) to the tail (C)
+    assert m["A"]["weight"] < m["A"]["raw_share"]
+    assert m["C"]["weight"] > m["C"]["raw_share"]
+    # weights still sum to 1 (up to the integer grid)
+    assert sum(r["weight"] for r in m.values()) == pytest.approx(1.0, abs=1e-9)
+    # total allocation never exceeds the budget (floor per source)
+    assert sum(r["tokens_alloc"] for r in m.values()) <= 22_000
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    )
+    out = curation.shuffle_shards(docs)
+    rows = out.collect()
+    assert len(rows) == 300 and {r["doc_id"] for r in rows} == set(range(300))
+    assert all(0 <= r["shard"] <= 15 for r in rows)
+    # dense 1-based positions per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # pure function of ids: identical under any input partitioning
+    again = curation.shuffle_shards(docs.repartition(17))
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_shuffle_shards_seed_changes_order(spark):
+    docs = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    a = sorted(map(tuple, curation.shuffle_shards(docs, seed="0").collect()))
+    b = sorted(map(tuple, curation.shuffle_shards(docs, seed="1").collect()))
+    assert a != b  # a different seed re-deals the layout

@@ -67,6 +67,10 @@ CROSS_OK = {
     "remove_boilerplate_local", "perplexity_buckets",
     # bucket_apply inherits unigram_model_score's one-row OOV-floor attach
     "bucket_apply",
+    # domain_mixture attaches TWO one-row scalars (total tokens, weight
+    # denominator) onto the S-row per-source agg — deliberate broadcast
+    # scalar attaches on a metadata-sized frame, the corpus passes once
+    "domain_mixture",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
