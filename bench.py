@@ -122,6 +122,7 @@ EXTRA = [
     # shuffled-shards training layout
     "domain_mixture",
     "shuffle_shards",
+    "mixture_materialize",
 ]
 
 

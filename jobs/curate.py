@@ -7,7 +7,8 @@
         [--quality-min 0.4] [--threshold 0.5] [--max-bucket 100] \
         [--ngram 8] [--buckets 4096] [--substring-dedup-n 50] \
         [--cap-per-source 100000] [--dsir-target <dir> --dsir-n 10000] \
-        [--split train=0.9,val=0.05,test=0.05]
+        [--split train=0.9,val=0.05,test=0.05] \
+        [--mix-budget 10000000000 --mix-temperature 0.7] [--shuffle]
 
 Runs the composed curation chain — quality gate → exact dedup → MinHash-
 LSH near-dup keep-one → benchmark decontamination — over a documents
@@ -86,6 +87,24 @@ def main() -> None:
         "exact dedup / near-dup / decontamination) in the stats JSON",
     )
     ap.add_argument(
+        "--mix-budget",
+        type=int,
+        default=None,
+        help="materialize the temperature-scaled training mix: survivors "
+        "are repeated per their source's epoch factor so each source's "
+        "expected token mass matches its budget allocation; adds a rep "
+        "column (the per-source plan lands in the stats JSON)",
+    )
+    ap.add_argument("--mix-temperature", type=float, default=0.7)
+    ap.add_argument(
+        "--shuffle",
+        action="store_true",
+        help="assign the deterministic shuffled-shards training layout "
+        "(shard + pos columns, pure functions of the row identity — "
+        "stage-retry-safe, reproducible across reruns)",
+    )
+    ap.add_argument("--shuffle-seed", default="0")
+    ap.add_argument(
         "--split",
         default=None,
         help="label survivors with a deterministic dataset split, e.g. "
@@ -160,6 +179,40 @@ def main() -> None:
             for k, v in (kv.split("=") for kv in args.split.split(","))
         }
         survivors = curation.split_assign(survivors, fractions)
+    mixture_plan = None
+    if args.mix_budget:
+        plan = curation.domain_mixture(
+            survivors,
+            token_budget=args.mix_budget,
+            temperature=args.mix_temperature,
+        )
+        mixture_plan = {
+            r["source"]: {
+                "n_docs": r["n_docs"],
+                "n_tokens": r["n_tokens"],
+                "weight": round(r["weight"], 6),
+                "tokens_alloc": r["tokens_alloc"],
+                "epochs": round(r["epochs"], 6) if r["epochs"] is not None else None,
+            }
+            for r in plan.collect()
+        }
+        mix = curation.mixture_materialize(
+            survivors, token_budget=0, temperature=0.0, plan=plan
+        )
+        # re-attach the payload; rep makes the row identity unique
+        survivors = mix.join(survivors, on=["doc_id", "source"]).withColumn(
+            "mix_id",
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#"), F.col("rep").cast("string")
+            ),
+        )
+    if args.shuffle:
+        survivors = curation.shuffle_shards(
+            survivors,
+            seed=args.shuffle_seed,
+            id_col="mix_id" if args.mix_budget else "doc_id",
+            full=True,
+        )
     stats = checkpointed_write(
         spark,
         survivors,
@@ -170,6 +223,8 @@ def main() -> None:
     )
     stats["wall_sec"] = round(time.monotonic() - t0, 3)
     stats["input_docs"] = docs.count()
+    if mixture_plan is not None:
+        stats["mixture"] = mixture_plan
     if args.funnel:
         funnel = curation.curation_funnel(
             docs,

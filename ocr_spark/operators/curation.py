@@ -994,17 +994,55 @@ def domain_mixture(
     integers — Spark and the SQL twin agree bit-for-bit regardless of
     partitioning or summation order.
     """
-    from pyspark import StorageLevel
+    return mixture_from_counts(
+        source_token_counts(documents, group_col=group_col, text_col=text_col),
+        token_budget=token_budget,
+        temperature=temperature,
+        group_col=group_col,
+    )
 
+
+def source_token_counts(
+    documents: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The one corpus pass behind :func:`domain_mixture` — per-group
+    ``(grp, n_docs, n_tokens)`` from row-local whitespace token counts
+    and one map-side-combined keyed agg. Doc and token counts are
+    ADDITIVE across disjoint deliveries, so a maintained statistic (the
+    streaming state ``source_stats_stream_writer`` keeps warm, or any
+    batch-written sidecar) can feed :func:`mixture_from_counts` without
+    this pass ever re-running over the corpus."""
     toks = F.size(
         F.filter(F.split(dedup.normalized(F.col(text_col)), " "), lambda t: t != "")
     ).cast("long")
-    agg = (
+    return (
         documents.select(F.col(group_col).alias("grp"), toks.alias("n_tok"))
         .groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def mixture_from_counts(
+    counts: DataFrame,
+    *,
+    token_budget: int,
+    temperature: float = 0.7,
+    group_col: str = "source",
+) -> DataFrame:
+    """The mixture math of :func:`domain_mixture` over any
+    ``(grp, n_docs, n_tokens)`` frame — split out so a MAINTAINED
+    per-source statistic feeds the same plan without rescanning the
+    corpus. All inputs are S = |groups| rows; the two cross-row scalars
+    are broadcast 1-row aggs."""
+    from pyspark import StorageLevel
+
+    agg = counts.select("grp", "n_docs", "n_tokens").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    token_budget = int(token_budget)
     total = agg.agg(F.sum("n_tokens").alias("total_tokens"))
     scaled = agg.crossJoin(F.broadcast(total)).withColumn(
         "p_grid",
@@ -1038,6 +1076,7 @@ def shuffle_shards(
     seed: str = "0",
     id_col: str = "doc_id",
     salt: str = "shuf",
+    full: bool = False,
 ) -> DataFrame:
     """Deterministic global training shuffle: every row gets a 16-way
     ``shard`` and a dense 1-based ``pos`` within its shard, both pure
@@ -1059,14 +1098,90 @@ def shuffle_shards(
     ``sortWithinPartitions(_k)``; no global sort ever happens. The
     catalog form materializes ``pos`` via a per-shard window so the
     oracle can replay the exact layout.
+
+    ``full=True`` keeps every input column alongside (shard, pos) — the
+    job-sink form, where the payload has to ride the one shuffle anyway
+    to be written in layout order. The default carries only (id, key)
+    through the shuffle.
     """
     key = F.md5(F.concat(F.lit(f"{salt}:{seed}:"), F.col(id_col).cast("string")))
-    keyed = documents.select(F.col(id_col), key.alias("_k")).withColumn(
+    base = documents if full else documents.select(id_col)
+    keyed = base.withColumn("_k", key).withColumn(
         "shard",
         (F.instr(F.lit(SHUFFLE_ALPHABET), F.substring("_k", 1, 1)) - 1).cast("int"),
     )
     w = Window.partitionBy("shard").orderBy("_k", id_col)
+    out = keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+    return out.drop("_k") if full else out.select(id_col, "shard", "pos")
+
+
+def mixture_materialize(
+    documents: DataFrame,
+    *,
+    token_budget: int,
+    temperature: float = 0.7,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    plan: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize the :func:`domain_mixture` plan as the actual
+    training mix: every doc appears ``floor(epochs_s)`` times plus one
+    more with probability ``frac(epochs_s)``, so each source's expected
+    token mass equals its budget allocation — the repeat-factor
+    expansion a run config consumes (``(doc_id, group, rep)`` rows;
+    feed ``(id, rep)`` to :func:`shuffle_shards` for the final layout).
+
+    The fractional epoch is decided by the module's salted-md5 hex draw
+    per document (no RNG): deterministic, partition-independent, and
+    stable as the corpus grows. The per-source threshold is itself a
+    COLUMN — ``frac`` snapped to a 2^32 grid and hex-formatted — so the
+    compare stays the same fixed-width lexicographic test every sampler
+    here uses, just against a computed bound.
+
+    Scale shape: plan is S rows broadcast onto the corpus (equi-join on
+    the group key), the repeat explode is row-local, and nothing
+    shuffles — output size is ``budget / avg_doc_tokens`` rows by
+    construction. Pass a precomputed ``plan`` (e.g. from
+    :func:`mixture_from_counts` over maintained state) to skip the
+    counting pass entirely.
+    """
+    if plan is None:
+        plan = domain_mixture(
+            documents,
+            token_budget=token_budget,
+            temperature=temperature,
+            group_col=group_col,
+            text_col=text_col,
+        )
+    whole = F.floor(F.col("epochs")).cast("long")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    thr = F.lpad(
+        F.lower(F.conv(F.floor(frac * F.lit(4294967296.0)).cast("string"), 10, 16)),
+        8,
+        "0",
+    )
+    side = plan.select(
+        group_col, "epochs", whole.alias("_whole"), thr.alias("_thr")
+    )
+    draw = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    n_rep = (
+        F.col("_whole") + F.when(draw < F.col("_thr"), F.lit(1)).otherwise(F.lit(0))
+    ).alias("_n_rep")
     return (
-        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
-        .select(id_col, "shard", "pos")
+        documents.select(id_col, group_col)
+        .join(F.broadcast(side), on=group_col)
+        .select(id_col, group_col, n_rep)
+        .select(
+            id_col,
+            group_col,
+            F.explode(
+                F.when(
+                    F.col("_n_rep") >= 1, F.sequence(F.lit(1).cast("long"), F.col("_n_rep"))
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("rep"),
+        )
     )

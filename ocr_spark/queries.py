@@ -4977,6 +4977,58 @@ FROM p, d
 """
 
 
+_MIX_MAT_BUDGET = 200_000
+
+
+def q_mixture_materialize(spark, sf_dir):
+    """Repeat-factor expansion of the domain-mixture plan: every doc
+    appears floor(epochs_source) times plus one more on a salted-md5
+    fractional draw, so each source's expected token mass equals its
+    budget allocation — the (doc_id, source, rep) training mix a run
+    consumes. Plan is S rows broadcast onto the corpus; the explode is
+    row-local; nothing shuffles (see curation.mixture_materialize)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.mixture_materialize(
+        docs, token_budget=_MIX_MAT_BUDGET, temperature=_MIX_TEMPERATURE
+    )
+
+
+SQL_MIXTURE_MATERIALIZE = f"""
+WITH per AS (
+  SELECT source,
+         len(list_filter(string_split({_SQL_NORM}, ' '), t -> t <> '')) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM agg),
+p AS (
+  SELECT agg.*, total_tokens,
+         CAST(floor(pow(n_tokens / total_tokens, {_MIX_TEMPERATURE}) * 1e12 + 0.5) AS BIGINT) AS p_grid
+  FROM agg, tot
+),
+d AS (SELECT CAST(sum(p_grid) AS BIGINT) AS p_denom FROM p),
+plan AS (
+  SELECT source,
+         CASE WHEN n_tokens > 0
+              THEN floor({_MIX_MAT_BUDGET} * (p_grid / p_denom)) / n_tokens END AS epochs
+  FROM p, d
+),
+rep AS (
+  SELECT doc.doc_id, doc.source,
+         CAST(floor(plan.epochs) AS BIGINT)
+         + CASE WHEN substr(md5('mix:' || CAST(doc.doc_id AS VARCHAR)), 1, 8)
+                     < lpad(lower(to_hex(CAST(floor((plan.epochs - floor(plan.epochs)) * 4294967296) AS BIGINT))), 8, '0')
+                THEN 1 ELSE 0 END AS n_rep
+  FROM documents doc JOIN plan USING (source)
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS rep
+FROM rep WHERE n_rep >= 1
+"""
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle: 16-way shard + dense
     within-shard position, both pure functions of md5('shuf:0:'||id) —
@@ -5096,6 +5148,7 @@ CATALOG: dict[str, tuple] = {
     "cluster_cap_sample": (q_cluster_cap_sample, SQL_CLUSTER_CAP_SAMPLE),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
+    "mixture_materialize": (q_mixture_materialize, SQL_MIXTURE_MATERIALIZE),
     "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),
     "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
     "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),

@@ -155,3 +155,71 @@ def source_overlap_from_state(spark, state_dir: str) -> DataFrame | None:
     if fps is None:
         return None
     return overlap_from_fps(fps.select("src", "fp"))
+
+
+def source_stats_stream_writer(
+    stream_docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    state_dir: str = "",
+    n_files: int = 1,
+):
+    """``writeStream`` writer maintaining the per-source corpus masses
+    ``(grp, n_docs, n_tokens)`` of a document stream — the statistic
+    :func:`ocr_spark.operators.curation.domain_mixture` plans from.
+    Doc and token counts are additive across disjoint deliveries, so
+    the idempotent HEAD-commit merge applies unchanged (state rides the
+    shared machinery in long form ``(grp, metric, cnt)``); after each
+    delivery :func:`mixture_plan_from_state` re-plans the training mix
+    over the WHOLE committed corpus with no rescan — the S-row math is
+    the only cost."""
+    from ocr_spark.operators.curation import source_token_counts
+    from ocr_spark.streaming.sketch import _merge_batch
+
+    if not state_dir:
+        raise ValueError("source_stats_stream_writer needs a state_dir")
+
+    def _long(b: DataFrame) -> DataFrame:
+        c = source_token_counts(b, group_col=group_col, text_col=text_col)
+        return c.select(
+            "grp", F.lit("docs").alias("metric"), F.col("n_docs").alias("cnt")
+        ).unionByName(
+            c.select(
+                "grp", F.lit("tokens").alias("metric"), F.col("n_tokens").alias("cnt")
+            )
+        )
+
+    return stream_docs.writeStream.foreachBatch(
+        lambda df, bid: _merge_batch(
+            df, bid, state_dir, _long, ["grp", "metric"], n_files=n_files
+        )
+    )
+
+
+def mixture_plan_from_state(
+    spark,
+    state_dir: str,
+    *,
+    token_budget: int,
+    temperature: float = 0.7,
+    group_col: str = "source",
+) -> DataFrame | None:
+    """The :func:`domain_mixture` plan over the maintained per-source
+    state — equal to the batch plan over everything committed so far
+    (tested), at the cost of the S-row mixture math only."""
+    from ocr_spark.operators.curation import mixture_from_counts
+    from ocr_spark.streaming.sketch import read_sketch_state
+
+    state = read_sketch_state(spark, state_dir)
+    if state is None:
+        return None
+    counts = state.groupBy("grp").agg(
+        F.sum(F.when(F.col("metric") == "docs", F.col("cnt"))).alias("n_docs"),
+        F.sum(F.when(F.col("metric") == "tokens", F.col("cnt"))).alias("n_tokens"),
+    )
+    return mixture_from_counts(
+        counts,
+        token_budget=token_budget,
+        temperature=temperature,
+        group_col=group_col,
+    )

@@ -601,3 +601,36 @@ def test_shuffle_shards_seed_changes_order(spark):
     a = sorted(map(tuple, curation.shuffle_shards(docs, seed="0").collect()))
     b = sorted(map(tuple, curation.shuffle_shards(docs, seed="1").collect()))
     assert a != b  # a different seed re-deals the layout
+
+
+def test_mixture_materialize_integer_epochs_exact(spark):
+    # one source, T=1 → weight 1 → epochs = budget / corpus tokens exactly
+    rows = [(i, "a b c d e", "A") for i in range(4)]  # 20 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.mixture_materialize(docs, token_budget=60, temperature=1.0)
+    reps = {r["doc_id"]: r["rep"] for r in out.groupBy("doc_id").agg(
+        F.count("*").alias("rep")).collect()}
+    assert reps == {0: 3, 1: 3, 2: 3, 3: 3}  # epochs exactly 3.0, no draw
+    # rep indices are dense 1..3 per doc → unique (doc_id, rep) keys
+    assert out.distinct().count() == out.count() == 12
+
+
+def test_mixture_materialize_fractional_draw_deterministic(spark):
+    # epochs = 0.5 → each doc kept 0 or 1 times by the salted draw
+    rows = [(i, "a b c d e", "A") for i in range(40)]  # 200 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.mixture_materialize(docs, token_budget=100, temperature=1.0)
+    rows1 = sorted(map(tuple, out.collect()))
+    assert all(t[2] == 1 for t in rows1)  # never more than one rep
+    assert 0 < len(rows1) < 40  # the draw splits the corpus
+    # partition-independent: identical under a different input layout
+    again = curation.mixture_materialize(
+        docs.repartition(7), token_budget=100, temperature=1.0
+    )
+    assert sorted(map(tuple, again.collect())) == rows1
+    # precomputed-plan path short-circuits the counting pass, same result
+    plan = curation.domain_mixture(docs, token_budget=100, temperature=1.0)
+    viaplan = curation.mixture_materialize(
+        docs, token_budget=0, temperature=0.0, plan=plan
+    )
+    assert sorted(map(tuple, viaplan.collect())) == rows1

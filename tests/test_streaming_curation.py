@@ -179,3 +179,45 @@ def test_fp_state_feeds_source_overlap(spark, tmp_path):
     }
     assert got == want and ("crawlA", "crawlB") in got
     assert got[("crawlA", "crawlB")][0] == 10
+
+
+def test_source_stats_stream_equals_batch_mixture(spark, tmp_path):
+    from ocr_spark.streaming.curation import (
+        mixture_plan_from_state,
+        source_stats_stream_writer,
+    )
+    from ocr_spark.streaming.sketch import read_head
+
+    src, docs = _write_batched(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "mix_state")
+    q = (
+        source_stats_stream_writer(stream, state_dir=state)
+        .option("checkpointLocation", str(tmp_path / "ck_mix"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+    assert read_head(state)["last_batch_id"] >= 1  # crossed batch bounds
+
+    got = sorted(
+        map(
+            tuple,
+            mixture_plan_from_state(
+                spark, state, token_budget=1_000_000, temperature=0.7
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            curation.domain_mixture(
+                docs, token_budget=1_000_000, temperature=0.7
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 1

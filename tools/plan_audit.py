@@ -69,8 +69,10 @@ CROSS_OK = {
     "bucket_apply",
     # domain_mixture attaches TWO one-row scalars (total tokens, weight
     # denominator) onto the S-row per-source agg — deliberate broadcast
-    # scalar attaches on a metadata-sized frame, the corpus passes once
-    "domain_mixture",
+    # scalar attaches on a metadata-sized frame, the corpus passes once;
+    # mixture_materialize inherits the plan's attaches (the corpus-side
+    # join itself is a broadcast equi-join on the group key)
+    "domain_mixture", "mixture_materialize",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
