@@ -123,6 +123,7 @@ EXTRA = [
     "domain_mixture",
     "shuffle_shards",
     "mixture_materialize",
+    "shuffle_global_ids",
 ]
 
 

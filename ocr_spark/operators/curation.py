@@ -1185,3 +1185,37 @@ def mixture_materialize(
             ).alias("rep"),
         )
     )
+
+
+def shuffle_global_ids(
+    documents: DataFrame,
+    *,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Contiguous global row ids 0..N-1 in the :func:`shuffle_shards`
+    order — the "example index" a training run logs and resumes by.
+
+    Scale shape: the textbook form is one GLOBAL window (row_number
+    over the whole corpus ordered by the draw) — a single-partition
+    sort that cannot scale. This operator decomposes it: per-shard
+    dense positions from the sharded window (the shuffle_shards pass,
+    parallel across shards), per-shard row counts (S = 16 rows),
+    cumulative offsets over those S rows (driver-trivial running sum),
+    broadcast back — ``global_id = offset_shard + pos - 1``. Identical
+    output to the global window (the oracle IS the global window),
+    zero single-partition stages.
+    """
+    sh = shuffle_shards(documents, seed=seed, id_col=id_col, salt=salt)
+    counts = sh.groupBy("shard").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    return sh.join(F.broadcast(offsets), on="shard").select(
+        id_col,
+        "shard",
+        "pos",
+        (F.col("_off") + F.col("pos") - 1).cast("long").alias("global_id"),
+    )

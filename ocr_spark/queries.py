@@ -5051,6 +5051,32 @@ FROM k
 """
 
 
+def q_shuffle_global_ids(spark, sf_dir):
+    """Contiguous global row ids 0..N-1 in the shuffled order, computed
+    WITHOUT a global sort: per-shard dense positions (parallel sharded
+    window) + 16-row cumulative offsets broadcast back. The oracle is
+    the single global window the decomposition replaces — a hash match
+    proves the two-phase form exact (see curation.shuffle_global_ids).
+
+    Shard-major order equals full-hash order (the shard IS the hash's
+    first digit), so the twin sorts by the raw draw alone."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.shuffle_global_ids(docs)
+
+
+SQL_SHUFFLE_GLOBAL_IDS = """
+WITH k AS (
+  SELECT doc_id, md5('shuf:0:' || CAST(doc_id AS VARCHAR)) AS _k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(_k, 1, 1)) - 1 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(_k, 1, 1) ORDER BY _k, doc_id) AS BIGINT) AS pos,
+       CAST(row_number() OVER (ORDER BY _k, doc_id) - 1 AS BIGINT) AS global_id
+FROM k
+"""
+
+
 CATALOG: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     #
@@ -5113,19 +5139,25 @@ CATALOG: dict[str, tuple] = {
     "dedup_lines_local": (q_dedup_lines_local, SQL_DEDUP_LINES),
     "pack_chunks_shuffled": (q_pack_chunks_shuffled, SQL_PACK_CHUNKS_SHUFFLED),
     # -- re-confirmation slots: once-green family representatives
-    "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN_TOPK),
+    # (round-5 session swap: domain_mixture + mixture_materialize — a
+    # NEW never-driver-checked family — take the pq_ann_topk and
+    # time_travel re-confirmation slots; both displaced rows are
+    # driver-green in r04 and keep their pytest oracle gate below.)
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "mixture_materialize": (q_mixture_materialize, SQL_MIXTURE_MATERIALIZE),
     # round-5 (late) window swap: five NEW-FAMILY rows take the slots of
     # five twice-driver-green re-confirmations (ivfadc_ann_topk,
     # semantic_dup_pairs, pruned_scan, bloom_point_lookup,
     # substring_dedup — all green in r04, moved below the window) so
-    # CORRECTNESS_r05 hard-checks the late additions; pq_ann_topk,
-    # time_travel, and corpus_curation stay as family re-confirmations.
+    # CORRECTNESS_r05 hard-checks the late additions; corpus_curation
+    # stays as the composition re-confirmation (pq_ann_topk and
+    # time_travel, both r04-green, yielded their slots to the mixture
+    # family above and keep the pytest oracle gate below the window).
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "bucket_apply": (q_bucket_apply, SQL_BUCKET_APPLY),
     "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
-    "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     # NEW in round 5 (late): maximal duplicated-run spans, inserted at
     # index 48 so it gets its first driver check this round. The
@@ -5146,9 +5178,10 @@ CATALOG: dict[str, tuple] = {
     # the displaced twice-green re-confirmations live here too
     "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
     "cluster_cap_sample": (q_cluster_cap_sample, SQL_CLUSTER_CAP_SAMPLE),
-    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
-    "mixture_materialize": (q_mixture_materialize, SQL_MIXTURE_MATERIALIZE),
+    "shuffle_global_ids": (q_shuffle_global_ids, SQL_SHUFFLE_GLOBAL_IDS),
+    "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN_TOPK),
+    "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),
     "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP_PAIRS),
     "pruned_scan": (q_pruned_scan, SQL_PRUNED_SCAN),

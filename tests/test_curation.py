@@ -634,3 +634,14 @@ def test_mixture_materialize_fractional_draw_deterministic(spark):
         docs, token_budget=0, temperature=0.0, plan=plan
     )
     assert sorted(map(tuple, viaplan.collect())) == rows1
+
+
+def test_shuffle_global_ids_matches_global_sort(spark):
+    docs = spark.range(0, 250).select(F.col("id").alias("doc_id"))
+    out = curation.shuffle_global_ids(docs)
+    rows = out.collect()
+    # ids are a permutation of 0..N-1
+    assert sorted(r["global_id"] for r in rows) == list(range(250))
+    # equals the single global window it decomposes: shard-major+pos order
+    by_global = sorted(rows, key=lambda r: r["global_id"])
+    assert by_global == sorted(rows, key=lambda r: (r["shard"], r["pos"]))
