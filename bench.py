@@ -124,6 +124,7 @@ EXTRA = [
     "shuffle_shards",
     "mixture_materialize",
     "shuffle_global_ids",
+    "training_export",
 ]
 
 

@@ -8,7 +8,8 @@
         [--ngram 8] [--buckets 4096] [--substring-dedup-n 50] \
         [--cap-per-source 100000] [--dsir-target <dir> --dsir-n 10000] \
         [--split train=0.9,val=0.05,test=0.05] \
-        [--mix-budget 10000000000 --mix-temperature 0.7] [--shuffle]
+        [--mix-budget 10000000000 --mix-temperature 0.7] \
+        [--shuffle [--global-ids]]
 
 Runs the composed curation chain — quality gate → exact dedup → MinHash-
 LSH near-dup keep-one → benchmark decontamination — over a documents
@@ -104,6 +105,13 @@ def main() -> None:
         "stage-retry-safe, reproducible across reruns)",
     )
     ap.add_argument("--shuffle-seed", default="0")
+    ap.add_argument(
+        "--global-ids",
+        action="store_true",
+        help="with --shuffle: also assign contiguous 0..N-1 global "
+        "example ids (per-shard windows + broadcast offsets — no "
+        "global sort; the index a training run logs and resumes by)",
+    )
     ap.add_argument(
         "--split",
         default=None,
@@ -207,7 +215,10 @@ def main() -> None:
             ),
         )
     if args.shuffle:
-        survivors = curation.shuffle_shards(
+        layout = (
+            curation.shuffle_global_ids if args.global_ids else curation.shuffle_shards
+        )
+        survivors = layout(
             survivors,
             seed=args.shuffle_seed,
             id_col="mix_id" if args.mix_budget else "doc_id",

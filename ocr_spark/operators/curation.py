@@ -1193,6 +1193,7 @@ def shuffle_global_ids(
     seed: str = "0",
     id_col: str = "doc_id",
     salt: str = "shuf",
+    full: bool = False,
 ) -> DataFrame:
     """Contiguous global row ids 0..N-1 in the :func:`shuffle_shards`
     order — the "example index" a training run logs and resumes by.
@@ -1206,16 +1207,78 @@ def shuffle_global_ids(
     broadcast back — ``global_id = offset_shard + pos - 1``. Identical
     output to the global window (the oracle IS the global window),
     zero single-partition stages.
+
+    ``full=True`` keeps every input column alongside (shard, pos,
+    global_id) — the sink form (see :func:`shuffle_shards`).
     """
-    sh = shuffle_shards(documents, seed=seed, id_col=id_col, salt=salt)
+    sh = shuffle_shards(documents, seed=seed, id_col=id_col, salt=salt, full=full)
     counts = sh.groupBy("shard").agg(F.count(F.lit(1)).alias("_n"))
     woff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "shard", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
     )
-    return sh.join(F.broadcast(offsets), on="shard").select(
-        id_col,
-        "shard",
-        "pos",
-        (F.col("_off") + F.col("pos") - 1).cast("long").alias("global_id"),
+    joined = sh.join(F.broadcast(offsets), on="shard")
+    gid = (F.col("_off") + F.col("pos") - 1).cast("long").alias("global_id")
+    if full:
+        return joined.select(*sh.columns, gid)
+    return joined.select(id_col, "shard", "pos", gid)
+
+
+def training_export(
+    documents: DataFrame,
+    bench: DataFrame,
+    *,
+    token_budget: int,
+    temperature: float = 0.7,
+    quality_min: float = 0.4,
+    near_dup_threshold: float = 0.5,
+    max_bucket: int | None = None,
+    seed: str = "0",
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pipeline's last mile, end-to-end: curate → mix → lay out.
+
+    1. :func:`curate_corpus` — quality gate, exact dedup, near-dup
+       keep-one, decontamination (cheapest-first, d1 persisted).
+    2. :func:`mixture_materialize` — the temperature-scaled domain
+       mixture is PLANNED OVER THE CURATED corpus (the token masses a
+       run will actually train on, not the raw crawl's) and expanded
+       into (doc, rep) examples.
+    3. :func:`shuffle_global_ids` over ``doc_id#rep`` — the
+       deterministic shuffled-shards layout with contiguous 0..N-1
+       example indices.
+
+    Output: ``(doc_id, source, rep, shard, pos, global_id)`` — exactly
+    the table a training loader consumes, every column a pure function
+    of the input corpus (no RNG, stage-retry-safe, re-runnable).
+
+    Scale shape: the curation chain's keyed shuffles, one S-row plan
+    agg + broadcast, a row-local explode, then ONE layout shuffle on
+    shard — no stage is new; the composition adds a single equi-join of
+    survivors back to their text (left-semi, keyed).
+    """
+    curated = curate_corpus(
+        documents,
+        bench,
+        quality_min=quality_min,
+        near_dup_threshold=near_dup_threshold,
+        max_bucket=max_bucket,
     )
+    mix = mixture_materialize(
+        curated,
+        token_budget=token_budget,
+        temperature=temperature,
+        group_col=group_col,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    ex = mix.withColumn(
+        "example_id",
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#"), F.col("rep").cast("string")
+        ),
+    )
+    laid = shuffle_global_ids(ex, seed=seed, id_col="example_id", full=True)
+    return laid.select(id_col, group_col, "rep", "shard", "pos", "global_id")

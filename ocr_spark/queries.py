@@ -4993,11 +4993,15 @@ def q_mixture_materialize(spark, sf_dir):
     )
 
 
-SQL_MIXTURE_MATERIALIZE = f"""
-WITH per AS (
+def _sql_mixture_rep(src: str = "documents") -> str:
+    """CTE chain ``per → agg → tot → p → d → plan → rep`` computing the
+    domain-mixture plan and per-doc repeat counts over ``src`` (must
+    expose doc_id, source, text) — shared by the standalone
+    mixture-materialize row and the training-export composition."""
+    return f"""per AS (
   SELECT source,
          len(list_filter(string_split({_SQL_NORM}, ' '), t -> t <> '')) AS n_tok
-  FROM documents
+  FROM {src}
 ),
 agg AS (
   SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
@@ -5022,8 +5026,12 @@ rep AS (
          + CASE WHEN substr(md5('mix:' || CAST(doc.doc_id AS VARCHAR)), 1, 8)
                      < lpad(lower(to_hex(CAST(floor((plan.epochs - floor(plan.epochs)) * 4294967296) AS BIGINT))), 8, '0')
                 THEN 1 ELSE 0 END AS n_rep
-  FROM documents doc JOIN plan USING (source)
-)
+  FROM {src} doc JOIN plan USING (source)
+)"""
+
+
+SQL_MIXTURE_MATERIALIZE = f"""
+WITH {_sql_mixture_rep()}
 SELECT doc_id, source, CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS rep
 FROM rep WHERE n_rep >= 1
 """
@@ -5073,6 +5081,55 @@ SELECT doc_id,
        CAST(strpos('0123456789abcdef', substr(_k, 1, 1)) - 1 AS INTEGER) AS shard,
        CAST(row_number() OVER (PARTITION BY substr(_k, 1, 1) ORDER BY _k, doc_id) AS BIGINT) AS pos,
        CAST(row_number() OVER (ORDER BY _k, doc_id) - 1 AS BIGINT) AS global_id
+FROM k
+"""
+
+
+def q_training_export(spark, sf_dir):
+    """The pipeline's last mile end-to-end: curate (quality gate →
+    exact dedup → LSH keep-one → decontamination) → plan the
+    temperature-scaled mixture OVER THE CURATED corpus → repeat-factor
+    expansion → deterministic shuffled-shards layout with contiguous
+    global example ids — the exact (doc_id, source, rep, shard, pos,
+    global_id) table a training loader consumes. The DuckDB twin
+    recomposes all three phases from its own primitives (recursive
+    closure, lateral unnest, global window); a hash match proves the
+    whole composition (see curation.training_export)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.training_export(
+        docs,
+        _bench(docs),
+        token_budget=_MIX_MAT_BUDGET,
+        temperature=_MIX_TEMPERATURE,
+        quality_min=_CURATION_QUALITY_MIN,
+        near_dup_threshold=0.5,
+        max_bucket=LSH_MAX_BUCKET,
+    )
+
+
+SQL_TRAINING_EXPORT = f"""
+WITH RECURSIVE
+{_SQL_CURATION_CTES},
+cd AS (
+  SELECT doc.doc_id, doc.source, doc.text FROM documents doc
+  JOIN (SELECT doc_id FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)) cur
+    USING (doc_id)
+),
+{_sql_mixture_rep("cd")},
+mix AS (
+  SELECT doc_id, source, CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS rep
+  FROM rep WHERE n_rep >= 1
+),
+k AS (
+  SELECT doc_id, source, rep,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS example_id,
+         md5('shuf:0:' || CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)) AS _k
+  FROM mix
+)
+SELECT doc_id, source, rep,
+       CAST(strpos('0123456789abcdef', substr(_k, 1, 1)) - 1 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(_k, 1, 1) ORDER BY _k, example_id) AS BIGINT) AS pos,
+       CAST(row_number() OVER (ORDER BY _k, example_id) - 1 AS BIGINT) AS global_id
 FROM k
 """
 
@@ -5158,7 +5215,13 @@ CATALOG: dict[str, tuple] = {
     "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
-    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    # round-5 capstone: the last-mile composition (curate → mixture →
+    # shuffled layout with global ids) takes corpus_curation's
+    # re-confirmation slot — it SUBSUMES that chain (same curation CTEs
+    # feed its twin) and adds the mixture + layout phases on top;
+    # corpus_curation (driver-green r03+r04) keeps its pytest oracle
+    # gate below the window.
+    "training_export": (q_training_export, SQL_TRAINING_EXPORT),
     # NEW in round 5 (late): maximal duplicated-run spans, inserted at
     # index 48 so it gets its first driver check this round. The
     # insertion displaced incremental_exact_dedup and pack_chunks (both
@@ -5180,6 +5243,7 @@ CATALOG: dict[str, tuple] = {
     "cluster_cap_sample": (q_cluster_cap_sample, SQL_CLUSTER_CAP_SAMPLE),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "shuffle_global_ids": (q_shuffle_global_ids, SQL_SHUFFLE_GLOBAL_IDS),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "pq_ann_topk": (q_pq_ann_topk, SQL_PQ_ANN_TOPK),
     "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "ivfadc_ann_topk": (q_ivfadc_ann_topk, SQL_IVFADC_ANN_TOPK),

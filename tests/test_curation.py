@@ -636,6 +636,38 @@ def test_mixture_materialize_fractional_draw_deterministic(spark):
     assert sorted(map(tuple, viaplan.collect())) == rows1
 
 
+def test_training_export_composes_curate_mix_layout(spark):
+    # 20 quality-passing, mutually-distinct docs across 3 sources, plus
+    # one exact dup, one quality reject, and one contaminated doc.
+    def body(i):
+        return ("the and of to is " + " ".join(f"w{i}q{j}" for j in range(12)) + " ") * 3
+
+    rows = [(i, body(i), ["web", "wiki", "code"][i % 3]) for i in range(1, 21)]
+    rows += [
+        (21, body(1), "web"),  # exact dup of doc 1 -> dropped
+        (22, "tiny", "web"),  # quality reject
+        (23, ("zeta " * 40) + "the and of to is benchmark secret eval question answer span here now", "wiki"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = _bench(spark, [(99, "benchmark secret eval question answer span here now")])
+
+    export = curation.training_export(docs, bench, token_budget=2000).collect()
+    curated = curation.curate_corpus(docs, bench)
+    assert {r.doc_id for r in curated.collect()} == set(range(1, 21))
+
+    # the (doc, source, rep) multiset IS the mixture over the curated corpus
+    mix = curation.mixture_materialize(curated, token_budget=2000).collect()
+    assert sorted((r.doc_id, r.source, r.rep) for r in export) == sorted(
+        (r.doc_id, r.source, r.rep) for r in mix
+    )
+    assert len(export) > 20  # budget 2x corpus mass -> multi-epoch repeats
+
+    # layout: global ids are a permutation of 0..N-1 in shard-major order
+    assert sorted(r.global_id for r in export) == list(range(len(export)))
+    by_global = sorted(export, key=lambda r: r.global_id)
+    assert by_global == sorted(export, key=lambda r: (r.shard, r.pos))
+
+
 def test_shuffle_global_ids_matches_global_sort(spark):
     docs = spark.range(0, 250).select(F.col("id").alias("doc_id"))
     out = curation.shuffle_global_ids(docs)
