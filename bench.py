@@ -125,6 +125,9 @@ EXTRA = [
     "mixture_materialize",
     "shuffle_global_ids",
     "training_export",
+    # round-5 (late): NB classifier quality filter — frozen-artifact
+    # apply (train pass + score pass in the catalog construction)
+    "nb_classify",
 ]
 
 

@@ -1109,3 +1109,179 @@ def bucket_with_bounds(
         .otherwise(F.lit("tail"))
     )
     return out.select(id_col, lang_col, "lp", bucket.alias("bucket"))
+
+
+def label_token_counts(
+    corpus: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-class term frequencies ``(label, tok, c)`` — the sufficient
+    statistic of a multinomial Naive Bayes classifier. Counts are
+    ADDITIVE across disjoint deliveries, so the same HEAD-commit state
+    machinery that maintains :func:`token_counts` maintains this
+    labeled form (``streaming.quality.label_token_stats_stream_writer``)
+    and the classifier retrains from S·V-row state, never rescanning
+    the corpus."""
+    toks = (
+        dedup._ensure_parallelism(corpus)
+        .select(
+            F.col(label_col).alias("label"),
+            dedup.normalized(F.col(text_col)).alias("_norm"),
+        )
+        .select("label", F.explode_outer(F.split(F.col("_norm"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    return toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("c"))
+
+
+def nb_model_from_counts(
+    ltc: DataFrame,
+    stats: DataFrame,
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Laplace-smoothed multinomial NB artifact from the two additive
+    statistics: ``ltc`` = (label, tok, c) per-class term frequencies
+    (:func:`label_token_counts` or its maintained streaming state) and
+    ``stats`` = (grp, n_docs, n_tokens) per-class masses
+    (``curation.source_token_counts`` or the mixture-plan state — the
+    classifier shares the mixture family's statistic).
+
+    Artifact rows: ``(label, tok, lp, prior_lp, oov_lp)`` DENSE over
+    classes × the global top-``vocab_size`` token head (ties → token
+    asc, same head rule as :func:`unigram_model`):
+
+    * ``lp``       = ln((c + α) / (N_label + α·(V+1)))  with c = 0 for
+      head tokens the class never produced,
+    * ``prior_lp`` = ln(n_docs_label / n_docs_total),
+    * ``oov_lp``   = ln(α / (N_label + α·(V+1))) — one shared
+      unknown-token bucket per class, exactly an LM's OOV floor.
+
+    S·V rows (a few MB for real source counts), broadcastable at any
+    corpus size; the corpus itself is touched only by the two count
+    passes. The head is TakeOrdered (per-partition heap), never a
+    global sort."""
+    gc = ltc.groupBy("tok").agg(F.sum("c").alias("_gcnt"))
+    head = (
+        gc.orderBy(F.col("_gcnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok")
+    )
+    vsz = F.broadcast(head.agg(F.count(F.lit(1)).alias("_v")))
+    total = F.broadcast(stats.agg(F.sum("n_docs").alias("_docs_total")))
+    classes = (
+        stats.select(F.col("grp").alias("label"), "n_docs", "n_tokens")
+        .crossJoin(vsz)
+        .crossJoin(total)
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.col("_docs_total")).alias("prior_lp"),
+            (F.col("n_tokens") + F.lit(alpha) * (F.col("_v") + 1)).alias("_denom"),
+        )
+        .withColumn("oov_lp", F.log(F.lit(alpha) / F.col("_denom")))
+    )
+    ltc_head = ltc.join(F.broadcast(head), on="tok")
+    return (
+        F.broadcast(classes)
+        .crossJoin(head)
+        .join(F.broadcast(ltc_head), on=["label", "tok"], how="left")
+        .select(
+            "label",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha)) / F.col("_denom")
+            ).alias("lp"),
+            "prior_lp",
+            "oov_lp",
+        )
+    )
+
+
+def nb_model(
+    corpus: DataFrame,
+    label_col: str = "source",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the classifier-quality-filter classifier (the GPT-3/
+    DataComp pattern: score crawl docs by how much they look like a
+    reference class) directly from a labeled corpus: two additive count
+    passes → :func:`nb_model_from_counts`. The labels are whatever
+    ``label_col`` holds — sources for source attribution, a
+    curated-vs-raw flag for quality filtering."""
+    from ocr_spark.operators.curation import source_token_counts
+
+    ltc = label_token_counts(corpus, label_col=label_col, text_col=text_col)
+    stats = source_token_counts(corpus, group_col=label_col, text_col=text_col)
+    return nb_model_from_counts(ltc, stats, vocab_size=vocab_size, alpha=alpha)
+
+
+def score_with_nb_model(
+    documents: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, label, n_tok, score): per-class NB log-posterior (up to
+    the shared evidence constant) under a FIXED :func:`nb_model`
+    artifact — score = prior_lp + Σ_tok c·(lp | oov_lp).
+
+    Shape: per-doc (doc, tok, c) agg FIRST (the ×S class expansion then
+    multiplies distinct tokens, not occurrences), cross the S-row class
+    frame, broadcast-left-join the artifact head on (label, tok), one
+    (doc, label)-keyed agg. Docs complete within their input rows — no
+    state, no watermark — so this is a stateless streaming drop-in like
+    :func:`score_with_unigram_model`. Docs with zero tokens produce no
+    row."""
+    model = _pin_artifact(model)
+    classes = F.broadcast(model.select("label", "prior_lp", "oov_lp").distinct())
+    pg = (
+        dedup._ensure_parallelism(documents)
+        .select(id_col, dedup.normalized(F.col(text_col)).alias("_norm"))
+        .select(id_col, F.explode_outer(F.split(F.col("_norm"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = pg.crossJoin(classes).join(
+        F.broadcast(model.select("label", "tok", "lp")),
+        on=["tok", "label"],
+        how="left",
+    )
+    return scored.groupBy(id_col, "label").agg(
+        F.sum("c").alias("n_tok"),
+        (
+            F.min("prior_lp")
+            + F.sum(F.col("c") * F.coalesce(F.col("lp"), F.col("oov_lp")))
+        ).alias("score"),
+    )
+
+
+def nb_classify(
+    documents: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pred, score, margin): argmax class per document under a
+    fixed NB artifact, with margin = top1 − top2 score (the confidence
+    a quality filter thresholds on; 0.0 when the model has one class).
+    Ties break by label asc. The window partitions by doc over S rows —
+    never corpus-wide."""
+    sc = score_with_nb_model(documents, model, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("label").asc())
+    ranked = sc.select(
+        id_col,
+        "label",
+        "score",
+        F.row_number().over(w).alias("_rk"),
+        F.lead("score").over(w).alias("_s2"),
+    )
+    return ranked.filter(F.col("_rk") == 1).select(
+        id_col,
+        F.col("label").alias("pred"),
+        "score",
+        (F.col("score") - F.coalesce(F.col("_s2"), F.col("score"))).alias("margin"),
+    )

@@ -131,3 +131,72 @@ def boilerplate_stats_from_state(
     from pyspark.sql import functions as F
 
     return st.select("line_md5", F.col("cnt").alias("n_docs"))
+
+
+def label_token_stats_stream_writer(
+    stream_docs: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    state_dir: str = "",
+    n_files: int = 1,
+):
+    """``writeStream`` writer maintaining the per-class term
+    frequencies ``(label, tok, cnt)`` — the Naive Bayes sufficient
+    statistic — of a labeled document stream. Counts are additive, so
+    the idempotent HEAD-commit merge applies unchanged with
+    (label, tok) as the merge key; ``read_sketch_state`` at any commit
+    point equals batch :func:`label_token_counts` over everything
+    committed so far. Pair with ``curation.source_stats_stream_writer``
+    (the mixture family's per-source masses — the classifier reuses
+    that exact state) and :func:`nb_model_from_state` retrains the
+    classifier per delivery at S·V-row cost, never rescanning the
+    corpus."""
+    from ocr_spark.operators.quality import label_token_counts
+
+    if not state_dir:
+        raise ValueError("label_token_stats_stream_writer needs a state_dir")
+    return stream_docs.writeStream.foreachBatch(
+        lambda df, bid: _merge_batch(
+            df,
+            bid,
+            state_dir,
+            lambda b: label_token_counts(
+                b, label_col=label_col, text_col=text_col
+            ).withColumnRenamed("c", "cnt"),
+            ["label", "tok"],
+            n_files=n_files,
+        )
+    )
+
+
+def nb_model_from_state(
+    spark: SparkSession,
+    token_state_dir: str,
+    source_state_dir: str,
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame | None:
+    """The :func:`nb_model` artifact derived from two maintained
+    states — the labeled term frequencies
+    (:func:`label_token_stats_stream_writer`) and the per-source masses
+    (``curation.source_stats_stream_writer``, shared with the mixture
+    planner). Equal to the batch build over the committed prefix of the
+    stream (tested stream == batch); the corpus is never rescanned."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.quality import nb_model_from_counts
+
+    ltc = read_sketch_state(spark, token_state_dir)
+    src = read_sketch_state(spark, source_state_dir)
+    if ltc is None or src is None:
+        return None
+    stats = src.groupBy("grp").agg(
+        F.sum(F.when(F.col("metric") == "docs", F.col("cnt"))).alias("n_docs"),
+        F.sum(F.when(F.col("metric") == "tokens", F.col("cnt"))).alias("n_tokens"),
+    )
+    return nb_model_from_counts(
+        ltc.select("label", "tok", F.col("cnt").alias("c")),
+        stats,
+        vocab_size=vocab_size,
+        alpha=alpha,
+    )

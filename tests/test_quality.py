@@ -534,3 +534,95 @@ def test_bucket_with_bounds_unseen_lang_is_null(spark):
     )
     rows = quality.bucket_with_bounds(delivery, model, bounds).collect()
     assert len(rows) == 1 and rows[0]["bucket"] is None
+
+
+# ------------------------------------------------------------------
+# Naive Bayes classifier quality filter (nb_model / nb_classify)
+# ------------------------------------------------------------------
+
+import math
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _nb_train(spark):
+    # web: tokens {cat:3, dog:1, fish:1} over 2 docs, N=5
+    # book: tokens {dog:2, bird:4, cat:1} over 2 docs, N=7
+    return _labeled(
+        spark,
+        [
+            (0, "web", "cat cat dog"),
+            (1, "web", "cat fish"),
+            (2, "book", "dog dog bird"),
+            (3, "book", "bird bird bird cat"),
+        ],
+    )
+
+
+def test_nb_model_dense_head_and_hand_computed_lp(spark):
+    m = quality.nb_model(_nb_train(spark), label_col="source", vocab_size=10)
+    rows = m.collect()
+    # dense over classes x head: 2 labels x 4 distinct tokens
+    assert len(rows) == 2 * 4
+    by = {(r["label"], r["tok"]): r for r in rows}
+    # web: denom = 5 + 0.5 * (4 + 1) = 7.5
+    assert by[("web", "cat")]["lp"] == pytest.approx(math.log(3.5 / 7.5))
+    # head token the class never produced -> alpha mass, == oov_lp
+    assert by[("web", "bird")]["lp"] == pytest.approx(math.log(0.5 / 7.5))
+    assert by[("web", "bird")]["oov_lp"] == pytest.approx(math.log(0.5 / 7.5))
+    # book: denom = 7 + 2.5 = 9.5
+    assert by[("book", "bird")]["lp"] == pytest.approx(math.log(4.5 / 9.5))
+    # priors: 2/4 docs each
+    assert by[("web", "cat")]["prior_lp"] == pytest.approx(math.log(0.5))
+    # full-vocab head: per-class likelihood mass (head + oov bucket) == 1
+    for lab in ("web", "book"):
+        s = sum(math.exp(r["lp"]) for r in rows if r["label"] == lab)
+        oov = math.exp(by[(lab, "cat")]["oov_lp"])
+        assert s + oov == pytest.approx(1.0)
+
+
+def test_nb_model_head_is_global_topv_with_tok_tiebreak(spark):
+    m = quality.nb_model(_nb_train(spark), label_col="source", vocab_size=2)
+    toks = {r["tok"] for r in m.collect()}
+    # global counts: cat 4, bird 4, dog 3, fish 1 -> top-2 ties (cat,
+    # bird) both at 4; head is deterministic regardless
+    assert toks == {"bird", "cat"}
+
+
+def test_nb_classify_hand_computed_scores_and_margin(spark):
+    model = quality.nb_model(_nb_train(spark), label_col="source", vocab_size=10)
+    new = spark.createDataFrame(
+        [(10, "cat cat fish"), (11, "bird bird dog")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality.nb_classify(new, model).collect()}
+    assert got[10]["pred"] == "web" and got[11]["pred"] == "book"
+    want_web = math.log(0.5) + 2 * math.log(3.5 / 7.5) + math.log(1.5 / 7.5)
+    want_book = math.log(0.5) + 2 * math.log(1.5 / 9.5) + math.log(0.5 / 9.5)
+    assert got[10]["score"] == pytest.approx(want_web)
+    assert got[10]["margin"] == pytest.approx(want_web - want_book)
+    assert got[11]["margin"] > 0
+
+
+def test_nb_classify_oov_only_doc_uses_the_floor(spark):
+    model = quality.nb_model(_nb_train(spark), label_col="source", vocab_size=10)
+    new = spark.createDataFrame([(12, "zebra")], "doc_id long, text string")
+    r = quality.nb_classify(new, model).collect()[0]
+    # equal priors -> decided purely by the OOV floor; web's smaller
+    # denominator gives it the larger (less negative) floor
+    assert r["pred"] == "web"
+    assert r["score"] == pytest.approx(math.log(0.5) + math.log(0.5 / 7.5))
+    assert r["margin"] == pytest.approx(math.log(9.5 / 7.5))
+
+
+def test_nb_classify_single_class_margin_zero_and_empty_doc_dropped(spark):
+    train = _labeled(spark, [(0, "a", "x y"), (1, "a", "y z")])
+    model = quality.nb_model(train, label_col="source", vocab_size=10)
+    new = spark.createDataFrame(
+        [(5, "x unseen"), (6, "   ")], "doc_id long, text string"
+    )
+    rows = quality.nb_classify(new, model).collect()
+    assert len(rows) == 1  # the zero-token doc produces no row
+    assert rows[0]["pred"] == "a" and rows[0]["margin"] == 0.0

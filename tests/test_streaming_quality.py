@@ -411,3 +411,52 @@ def test_bucket_apply_stream_equals_batch(spark, tmp_path):
     w = {r["doc_id"]: (r["lang"], r["lp"], r["bucket"]) for r in want}
     assert g == w and len(g) == docs.count()
     assert {"head", "middle", "tail"} <= {b for (_l, _p, b) in g.values()}
+
+
+def test_nb_model_stream_equals_batch(spark, tmp_path):
+    """The NB classifier retrains from two maintained additive states
+    (labeled term frequencies + per-source masses — the latter SHARED
+    with the mixture planner) with no corpus rescan: the artifact
+    derived from streamed state equals the batch nb_model."""
+    from ocr_spark.streaming.curation import source_stats_stream_writer
+    from ocr_spark.streaming.quality import (
+        label_token_stats_stream_writer,
+        nb_model_from_state,
+    )
+    from ocr_spark.streaming.sketch import read_head
+
+    src, docs = _write_batched(spark, tmp_path)
+    tstate = str(tmp_path / "nb_tok_state")
+    sstate = str(tmp_path / "nb_src_state")
+    for writer, ck, st in (
+        (label_token_stats_stream_writer, "ck_nbtok", tstate),
+        (source_stats_stream_writer, "ck_nbsrc", sstate),
+    ):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            writer(stream, state_dir=st)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "streaming query did not drain in time"
+    assert read_head(tstate)["last_batch_id"] >= 2  # crossed batch bounds
+
+    def _key(rows):
+        return {
+            (r["label"], r["tok"]): (
+                round(r["lp"], 10),
+                round(r["prior_lp"], 10),
+                round(r["oov_lp"], 10),
+            )
+            for r in rows
+        }
+
+    m_stream = nb_model_from_state(spark, tstate, sstate, vocab_size=200)
+    assert m_stream is not None
+    m_batch = quality.nb_model(docs, label_col="source", vocab_size=200)
+    assert _key(m_stream.collect()) == _key(m_batch.collect())

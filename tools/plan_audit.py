@@ -73,6 +73,14 @@ CROSS_OK = {
     # mixture_materialize inherits the plan's attaches (the corpus-side
     # join itself is a broadcast equi-join on the group key)
     "domain_mixture", "mixture_materialize",
+    # training_export composes corpus_curation (no cross-join) with
+    # mixture_materialize's whitelisted one-row scalar attaches and the
+    # shuffle_global_ids 16-row offsets broadcast
+    "training_export",
+    # NB classifier: 1-row V/doc-total scalar attaches, the S-row x
+    # V-row dense artifact build (bounded: classes x head, a few KB),
+    # and the S-row broadcast class attach in the scorer
+    "nb_model_head", "nb_classify",
 }
 # queries whose input is synthesized in-memory (no parquet scan to push into)
 NO_SCAN = {"extraction_pipeline", "media_features", "media_resize", "media_frame_sample"}
