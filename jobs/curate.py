@@ -7,6 +7,7 @@
         [--quality-min 0.4] [--threshold 0.5] [--max-bucket 100] \
         [--ngram 8] [--buckets 4096] [--substring-dedup-n 50] \
         [--cap-per-source 100000] [--dsir-target <dir> --dsir-n 10000] \
+        [--nb-reference <dir> [--nb-min-margin 0.0] [--nb-vocab 50000]] \
         [--split train=0.9,val=0.05,test=0.05] \
         [--mix-budget 10000000000 --mix-temperature 0.7] \
         [--shuffle [--global-ids]]
@@ -74,6 +75,16 @@ def main() -> None:
         "whose unigram distribution importance-resamples toward it",
     )
     ap.add_argument("--dsir-n", type=int, default=10_000)
+    ap.add_argument(
+        "--nb-reference",
+        default=None,
+        help="parquet of reference-quality docs: train the NB classifier "
+        "quality filter (reference vs raw, the GPT-3 recipe) and attach "
+        "nb_pred/nb_margin to survivors; with --nb-min-margin only "
+        "reference-like survivors above the confidence threshold remain",
+    )
+    ap.add_argument("--nb-min-margin", type=float, default=None)
+    ap.add_argument("--nb-vocab", type=int, default=50_000)
     ap.add_argument(
         "--bucket-by-perplexity",
         action="store_true",
@@ -167,6 +178,16 @@ def main() -> None:
         picked = quality.dsir_select(survivors, target, n=args.dsir_n)
         survivors = survivors.join(
             picked.select("doc_id"), on="doc_id", how="left_semi"
+        )
+    if args.nb_reference:
+        from ocr_spark.operators import quality
+
+        ref = spark.read.parquet(args.nb_reference)
+        survivors = quality.nb_reference_filter(
+            survivors,
+            ref,
+            vocab_size=args.nb_vocab,
+            min_margin=args.nb_min_margin,
         )
     if args.bucket_by_perplexity:
         from ocr_spark.operators import quality

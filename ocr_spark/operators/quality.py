@@ -1285,3 +1285,54 @@ def nb_classify(
         "score",
         (F.col("score") - F.coalesce(F.col("_s2"), F.col("score"))).alias("margin"),
     )
+
+
+def nb_reference_filter(
+    documents: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    min_margin: float | None = None,
+) -> DataFrame:
+    """GPT-3/DataComp classifier quality filtering end-to-end: train
+    :func:`nb_model` to separate a REFERENCE corpus ("looks like what
+    we want") from the raw documents themselves ("looks like crawl" —
+    the raw side doubles as the negative class exactly as GPT-3 used
+    Common Crawl, accepting the slight label noise), then label every
+    document under the frozen artifact. Returns the input rows with
+    ``nb_pred``/``nb_margin`` attached; with ``min_margin`` set, only
+    rows the classifier calls reference-like with at least that
+    confidence survive (zero-token docs never classify: NULL labels
+    without the threshold, dropped with it).
+
+    At 100 TB pass a deterministic SAMPLE of the raw side as the
+    negative class (the model needs class shape, not the full corpus)
+    or derive the artifact from the maintained label states
+    (``streaming.quality.nb_model_from_state``) — either way the full
+    corpus is touched only by the score pass."""
+    train = (
+        reference.select(F.col(text_col).alias("text"))
+        .withColumn("_cls", F.lit("ref"))
+        .unionByName(
+            documents.select(F.col(text_col).alias("text")).withColumn(
+                "_cls", F.lit("raw")
+            )
+        )
+    )
+    model = nb_model(train, label_col="_cls", vocab_size=vocab_size)
+    preds = nb_classify(documents, model, text_col=text_col, id_col=id_col)
+    out = documents.join(
+        preds.select(
+            id_col,
+            F.col("pred").alias("nb_pred"),
+            F.col("margin").alias("nb_margin"),
+        ),
+        on=id_col,
+        how="left",
+    )
+    if min_margin is not None:
+        out = out.filter(
+            (F.col("nb_pred") == "ref") & (F.col("nb_margin") >= min_margin)
+        )
+    return out

@@ -626,3 +626,42 @@ def test_nb_classify_single_class_margin_zero_and_empty_doc_dropped(spark):
     rows = quality.nb_classify(new, model).collect()
     assert len(rows) == 1  # the zero-token doc produces no row
     assert rows[0]["pred"] == "a" and rows[0]["margin"] == 0.0
+
+
+def test_nb_reference_filter_keeps_reference_like_docs(spark):
+    # NOTE the raw side doubles as the negative class (GPT-3 recipe),
+    # so the reference-like raw doc is label noise in its own negative
+    # class; the reference corpus must carry the stronger signal.
+    # Hand-checked: doc 0 scores ref -4.666 vs raw -7.565; doc 1 scores
+    # ref -10.504 vs raw -5.109.
+    reference = spark.createDataFrame(
+        [("alpha beta gamma",)] * 3, "text string"
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "spam eggs ham"),
+            (2, "spam ham eggs"),
+            (3, "ham spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = quality.nb_reference_filter(raw, reference, min_margin=0.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0]
+    # without the threshold every row survives with labels attached
+    labeled = quality.nb_reference_filter(raw, reference)
+    rows = {r["doc_id"]: r["nb_pred"] for r in labeled.collect()}
+    assert len(rows) == 4 and rows[0] == "ref" and rows[1] == "raw"
+
+
+def test_nb_reference_filter_zero_token_doc(spark):
+    reference = spark.createDataFrame([("alpha beta",)] * 2, "text string")
+    raw = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "   "), (2, "zzz yyy zzz"), (3, "yyy zzz yyy")],
+        "doc_id long, text string",
+    )
+    labeled = quality.nb_reference_filter(raw, reference)
+    rows = {r["doc_id"]: r["nb_pred"] for r in labeled.collect()}
+    assert len(rows) == 4 and rows[1] is None  # zero-token doc: NULL label
+    filtered = quality.nb_reference_filter(raw, reference, min_margin=0.0)
+    assert [r["doc_id"] for r in filtered.collect()] == [0]
