@@ -2314,31 +2314,36 @@ def q_corpus_curation(spark, sf_dir):
 
 
 # the full curation chain's CTEs (shared by the survivor query and the
-# per-stage funnel report — one construction, two final SELECTs)
-_SQL_CURATION_CTES = f"""ts AS ({_sql_textstats()}),
-good AS (
+# per-stage funnel report — one construction, two final SELECTs).
+# Every non-recursive CTE is MATERIALIZED: DuckDB otherwise inlines a
+# CTE once PER REFERENCE, so the funnel/export twins (which reference
+# good/d1/d2/bad several times) re-evaluated the whole chain — the
+# recursive closure included — per reference (measured 362 s → 78 s on
+# training_export at sf0.01 from this hint alone).
+_SQL_CURATION_CTES = f"""ts AS MATERIALIZED ({_sql_textstats()}),
+good AS MATERIALIZED (
   SELECT d.doc_id, d.text FROM documents d JOIN ts ON d.doc_id = ts.doc_id
   WHERE ts.quality >= {_CURATION_QUALITY_MIN}
 ),
-keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5({_SQL_NORM})),
-d1 AS (SELECT g.doc_id, g.text FROM good g JOIN keep USING (doc_id)),
-pairs AS ({_sql_lsh_pairs(source="d1")}),
-edges AS (
+keep AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5({_SQL_NORM})),
+d1 AS MATERIALIZED (SELECT g.doc_id, g.text FROM good g JOIN keep USING (doc_id)),
+pairs AS MATERIALIZED ({_sql_lsh_pairs(source="d1")}),
+edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
   SELECT doc_b, doc_a FROM pairs
 ),
-nodes AS (SELECT DISTINCT a AS node FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges),
 reach AS (
   SELECT node, node AS m FROM nodes
   UNION
   SELECT r.node, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
 ),
-losers AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING min(m) <> node),
-d2 AS (SELECT doc_id, text FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-dg AS ({_sql_word_grams("d2", "doc_id", "doc_id")}),
-bg AS ({_sql_word_grams(_SQL_BENCH_SRC, f"doc_id + {_BENCH_OFFSET}", "bench_id")}),
-bad AS (SELECT DISTINCT d.doc_id FROM dg d JOIN bg b USING (g))"""
+losers AS MATERIALIZED (SELECT node AS doc_id FROM reach GROUP BY node HAVING min(m) <> node),
+d2 AS MATERIALIZED (SELECT doc_id, text FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+dg AS MATERIALIZED ({_sql_word_grams("d2", "doc_id", "doc_id")}),
+bg AS MATERIALIZED ({_sql_word_grams(_SQL_BENCH_SRC, f"doc_id + {_BENCH_OFFSET}", "bench_id")}),
+bad AS MATERIALIZED (SELECT DISTINCT d.doc_id FROM dg d JOIN bg b USING (g))"""
 
 SQL_CORPUS_CURATION = f"""
 WITH RECURSIVE
