@@ -128,6 +128,9 @@ EXTRA = [
     # round-5 (late): NB classifier quality filter — frozen-artifact
     # apply (train pass + score pass in the catalog construction)
     "nb_classify",
+    # round-5 (late): multimodal interleaved sequence packing (atomic
+    # media spans, greedy in-order) — row-local JVM HOFs, zero shuffle
+    "interleaved_pack",
 ]
 
 

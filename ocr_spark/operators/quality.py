@@ -1336,3 +1336,115 @@ def nb_reference_filter(
             (F.col("nb_pred") == "ref") & (F.col("nb_margin") >= min_margin)
         )
     return out
+
+
+def pack_interleaved(
+    docs: DataFrame,
+    budget: int = 64,
+    media_tokens: int = 24,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy in-order sequence packing over INTERLEAVED spans — the
+    multimodal training-sequence construction (MMC4/Flamingo style):
+    walk a document's ordered (text | media) spans and start a new
+    sequence whenever adding the next span would exceed ``budget``
+    tokens.  Spans are ATOMIC — a media span is never split across
+    sequences (it is one image/audio embedding slot), and text spans
+    keep their surrounding-media adjacency (the property interleaved
+    pretraining data exists to preserve; contrast :func:`pack_chunks`,
+    which concatenates and cuts pure text at exact token offsets).
+
+    Costs: a media span (``media_ref <> ''``) costs ``media_tokens``
+    (the fixed projector token budget, e.g. 64 visual tokens per
+    image); a text span costs its whitespace token count (the rule
+    shared with textstats).  A span costing more than ``budget`` gets
+    a sequence of its own (greedy never looks back).
+
+    Emits one row per packed sequence: ``(doc_id, seq, n_spans,
+    n_tokens, n_media, kinds)`` with ``kinds`` the in-order
+    comma-joined span kinds — the manifest a loader needs to
+    materialize the sequence.
+
+    Scale shape: entirely row-local (JVM higher-order functions over
+    the spans array — aggregate for the greedy scan, transform for the
+    per-sequence rollup), ZERO shuffle, no Python; at 100 TB this is a
+    pure map stage that composes with any upstream partitioning.  The
+    staged ``_costs``/``_seqs`` projections keep each lambda referencing
+    a plain column (the documented HOF re-evaluation trap)."""
+    sp = F.col("_spans")
+    cost_of = lambda s: (  # noqa: E731
+        F.when(s["media_ref"] != "", F.lit(media_tokens))
+        .otherwise(token_count(s["text"]))
+        .cast("int")
+    )
+    staged = docs.select(
+        id_col,
+        F.col(spans_col).alias("_spans"),
+    ).select(
+        id_col,
+        "_spans",
+        F.transform(sp, cost_of).alias("_costs"),
+    )
+    zero = F.lit(0).cast("int")
+    init = F.struct(
+        F.slice(F.array(zero), 1, 0).alias("seqs"),
+        zero.alias("seq"),
+        zero.alias("used"),
+    )
+
+    def _step(acc, c):
+        roll = (acc["used"] + c > budget) & (acc["used"] > 0)
+        seq = F.when(roll, acc["seq"] + 1).otherwise(acc["seq"]).cast("int")
+        used = F.when(roll, c).otherwise(acc["used"] + c).cast("int")
+        return F.struct(
+            F.concat(acc["seqs"], F.array(seq)).alias("seqs"),
+            seq.alias("seq"),
+            used.alias("used"),
+        )
+
+    packed = staged.select(
+        id_col,
+        "_spans",
+        "_costs",
+        F.aggregate("_costs", init, _step)["seqs"].alias("_seqs"),
+    )
+    seqs, costs = F.col("_seqs"), F.col("_costs")
+    # try_element_at: ANSI mode throws on element_at(empty, -1) even
+    # under the size() guard (codegen hoists the sequence bound)
+    per_seq = F.transform(
+        F.sequence(F.lit(0), F.try_element_at(seqs, F.lit(-1))),
+        lambda q: F.struct(
+            q.cast("int").alias("seq"),
+            F.size(F.filter(seqs, lambda s: s == q)).cast("long").alias("n_spans"),
+            F.aggregate(
+                F.zip_with(costs, seqs, lambda c, s: F.when(s == q, c).otherwise(0)),
+                F.lit(0).cast("long"),
+                lambda a, c: a + c,
+            ).alias("n_tokens"),
+            F.size(
+                F.filter(
+                    F.zip_with(sp, seqs, lambda s, sq: (sq == q) & (s["media_ref"] != "")),
+                    lambda hit: hit,
+                )
+            ).cast("long").alias("n_media"),
+            F.array_join(
+                F.filter(
+                    F.zip_with(sp, seqs, lambda s, sq: F.when(sq == q, s["kind"])),
+                    lambda k: k.isNotNull(),
+                ),
+                ",",
+            ).alias("kinds"),
+        ),
+    )
+    # empty spans: try_element_at -> NULL bound -> per_seq is NULL and
+    # explode emits no row, so no guard is needed
+    out = packed.select(id_col, F.explode(per_seq).alias("_s"))
+    return out.select(
+        id_col,
+        F.col("_s")["seq"].alias("seq"),
+        F.col("_s")["n_spans"].alias("n_spans"),
+        F.col("_s")["n_tokens"].alias("n_tokens"),
+        F.col("_s")["n_media"].alias("n_media"),
+        F.col("_s")["kinds"].alias("kinds"),
+    )

@@ -5279,6 +5279,130 @@ FROM ranked WHERE rk = 1
 """
 
 
+# --------------------------------------------------------------------------
+# interleaved multimodal sequence packing (ocr_spark.operators.quality)
+# --------------------------------------------------------------------------
+
+_IPACK_BUDGET = 64
+_IPACK_MEDIA = 24
+
+
+def _interleaved_view(docs: DataFrame) -> DataFrame:
+    """Deterministic interleaved text+media span view of the synthetic
+    corpus (the `_lined` pattern): each document's words split into two
+    text spans at the midpoint, an image span planted after the first
+    half on every even doc and after the second half on every third doc
+    — identical construction in the SQL twin, so the packer gets
+    genuinely interleaved atomic-media input."""
+    w = F.col("_w")
+    base = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("_w"),
+    ).select(
+        "doc_id",
+        "_w",
+        F.ceil(F.size(w) / 2).cast("int").alias("_cut"),
+        F.size(w).alias("_n"),
+    )
+    t_span = lambda t: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"), t.alias("text"), F.lit("").alias("media_ref")
+    )
+    m_span = lambda ref: F.struct(  # noqa: E731
+        F.lit("image").alias("kind"), F.lit("").alias("text"), ref.alias("media_ref")
+    )
+    maybe = lambda cond, s: F.when(cond, F.array(s)).otherwise(  # noqa: E731
+        F.slice(F.array(s), 1, 0)
+    )
+    cut, n = F.col("_cut"), F.col("_n")
+    did = F.col("doc_id")
+    spans = F.concat(
+        F.array(t_span(F.array_join(F.slice(w, F.lit(1), cut), " "))),
+        maybe(did % 2 == 0, m_span(F.concat(F.lit("img:"), did.cast("string")))),
+        F.array(t_span(F.array_join(F.slice(w, cut + 1, n - cut), " "))),
+        maybe(did % 3 == 0, m_span(F.concat(F.lit("fig:"), did.cast("string")))),
+    )
+    return base.select(
+        "doc_id",
+        F.transform(
+            spans,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def q_interleaved_pack(spark, sf_dir):
+    """Multimodal training-sequence packing over interleaved spans
+    (MMC4/Flamingo-style): greedy in-order packing where media spans are
+    ATOMIC fixed-budget items and text spans cost their token count —
+    the sequence manifest a multimodal loader consumes. Entirely
+    row-local JVM higher-order functions, zero shuffle (the 100 TB shape:
+    a pure map stage). The DuckDB twin replays the greedy scan with a
+    position-advancing recursive CTE over the identical span
+    construction."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality.pack_interleaved(
+        _interleaved_view(docs), budget=_IPACK_BUDGET, media_tokens=_IPACK_MEDIA
+    )
+
+
+_SQL_IPACK_NTOK = (
+    "CASE WHEN media_ref <> '' THEN {media} "
+    "WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+).format(media=_IPACK_MEDIA)
+
+SQL_INTERLEAVED_PACK = f"""
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT doc_id, w, CAST(ceil(len(w) / 2.0) AS INT) AS cut, len(w) AS n
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+sp AS (
+  SELECT doc_id, 0 AS ord, 'text' AS kind,
+         array_to_string(list_slice(w, 1, cut), ' ') AS text, '' AS media_ref
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, 'image', '', 'img:' || CAST(doc_id AS VARCHAR)
+  FROM base WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 2, 'text',
+         array_to_string(list_slice(w, cut + 1, n), ' '), ''
+  FROM base
+  UNION ALL
+  SELECT doc_id, 3, 'image', '', 'fig:' || CAST(doc_id AS VARCHAR)
+  FROM base WHERE doc_id % 3 = 0
+),
+costed AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos,
+         kind, media_ref, {_SQL_IPACK_NTOK} AS cost
+  FROM sp
+),
+packed AS (
+  SELECT doc_id, pos, kind, media_ref, cost, 0 AS seq, cost AS used
+  FROM costed WHERE pos = 0
+  UNION ALL
+  SELECT c.doc_id, c.pos, c.kind, c.media_ref, c.cost,
+         CASE WHEN p.used + c.cost > {_IPACK_BUDGET} AND p.used > 0
+              THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.used + c.cost > {_IPACK_BUDGET} AND p.used > 0
+              THEN c.cost ELSE p.used + c.cost END
+  FROM packed p JOIN costed c ON c.doc_id = p.doc_id AND c.pos = p.pos + 1
+)
+SELECT doc_id, CAST(seq AS INTEGER) AS seq,
+       count(*) AS n_spans,
+       CAST(sum(cost) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN media_ref <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       string_agg(kind, ',' ORDER BY pos) AS kinds
+FROM packed GROUP BY doc_id, seq
+"""
+
+
 CATALOG: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     #
@@ -5473,4 +5597,5 @@ CATALOG: dict[str, tuple] = {
     "amount_lattice": (q_amount_lattice, SQL_AMOUNT_LATTICE),
     "textstats": (q_textstats, SQL_TEXTSTATS),
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
+    "interleaved_pack": (q_interleaved_pack, SQL_INTERLEAVED_PACK),
 }

@@ -665,3 +665,58 @@ def test_nb_reference_filter_zero_token_doc(spark):
     assert len(rows) == 4 and rows[1] is None  # zero-token doc: NULL label
     filtered = quality.nb_reference_filter(raw, reference, min_margin=0.0)
     assert [r["doc_id"] for r in filtered.collect()] == [0]
+
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def test_pack_interleaved_greedy_and_atomic_media(spark):
+    # budget 30, media 24: doc 0 fits whole (3+24+2=29); doc 1's 70-token
+    # text span exceeds the budget alone (own sequence, never split) and
+    # the image starts sequence 1; doc 2's three images can never pair
+    # (24+24>30) -> one per sequence, atomic.
+    df = _spans_df(
+        spark,
+        [
+            (0, [("text", "one two three", "", 0), ("image", "", "img:0", 1),
+                 ("text", "four five", "", 2)]),
+            (1, [("text", " ".join(["w"] * 70), "", 0), ("image", "", "img:1", 1)]),
+            (2, [("image", "", "a", 0), ("image", "", "b", 1), ("image", "", "c", 2)]),
+        ],
+    )
+    out = quality.pack_interleaved(df, budget=30, media_tokens=24)
+    got = {
+        (r["doc_id"], r["seq"]): (r["n_spans"], r["n_tokens"], r["n_media"], r["kinds"])
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 0): (3, 29, 1, "text,image,text"),
+        (1, 0): (1, 70, 0, "text"),
+        (1, 1): (1, 24, 1, "image"),
+        (2, 0): (1, 24, 1, "image"),
+        (2, 1): (1, 24, 1, "image"),
+        (2, 2): (1, 24, 1, "image"),
+    }
+
+
+def test_pack_interleaved_empty_and_zero_cost_spans(spark):
+    # empty spans array -> no rows; a zero-token text span never forces
+    # a roll (used + 0 <= budget) and stays in the current sequence.
+    df = _spans_df(
+        spark,
+        [
+            (0, []),
+            (1, [("text", "a b c", "", 0), ("text", "   ", "", 1),
+                 ("text", "d e", "", 2)]),
+        ],
+    )
+    out = quality.pack_interleaved(df, budget=4, media_tokens=4)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    got = {r["seq"]: (r["n_spans"], r["n_tokens"]) for r in rows}
+    assert got == {0: (2, 3), 1: (1, 2)}
