@@ -131,6 +131,9 @@ EXTRA = [
     # round-5 (late): multimodal interleaved sequence packing (atomic
     # media spans, greedy in-order) — row-local JVM HOFs, zero shuffle
     "interleaved_pack",
+    # round-5 (late): standalone batched HTML boilerplate strip (the
+    # north rule's text/link-density heuristics as a first-class row)
+    "html_main_text",
 ]
 
 

@@ -720,3 +720,54 @@ def run_pipeline(
         page_split_bytes=page_split_bytes,
     )
     return frames.extracted_spans, frames.invoices
+
+
+# --------------------------------------------------------------------------
+# standalone batched HTML boilerplate strip (north rule: text-density +
+# link-density DOM heuristics a la Readability/Boilerpipe)
+# --------------------------------------------------------------------------
+
+_HTML_MAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("main_text", T.StringType()),
+        T.StructField("main_chars", T.LongType()),
+        T.StructField("html_chars", T.LongType()),
+    ]
+)
+
+
+def _html_main_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_spark.kernel import htmlx
+
+    for batch in it:
+        main = htmlx.extract_main_text(batch["html"])
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "offset": batch["offset"].astype("int32"),
+                "main_text": main,
+                "main_chars": main.str.len().astype("int64"),
+                "html_chars": batch["html"].str.len().fillna(0).astype("int64"),
+            }
+        )
+
+
+def html_main_text(html_spans: DataFrame) -> DataFrame:
+    """Batched HTML main-content extraction as a standalone operator:
+    rows ``(doc_id, offset, html)`` → ``(doc_id, offset, main_text,
+    main_chars, html_chars)`` via the kernel's boilerplate stripper
+    (``kernel/htmlx.py``: block segmentation, nav/header/footer/aside
+    subtree tagging, per-block link-density < 0.33 and text-density >= 3
+    gates, heading adoption — Kohlschütter et al., WSDM 2010 in spirit).
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` stage — no shuffle,
+    no collect; the HTML parse is the inherent cost and it is
+    embarrassingly parallel. The same kernel function serves the
+    pipeline's format dispatch (kernel/assemble.py resolve_content), so
+    this row pins the batched distributed path against a plain-Python
+    replay of the identical kernel (tools/gen_html_golden.py)."""
+    return html_spans.select("doc_id", "offset", "html").mapInPandas(
+        _html_main_map, schema=_HTML_MAIN_SCHEMA
+    )

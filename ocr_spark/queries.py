@@ -5280,6 +5280,37 @@ FROM ranked WHERE rk = 1
 
 
 # --------------------------------------------------------------------------
+# standalone HTML boilerplate strip (north rule: text-density +
+# link-density heuristics) — golden-pinned like the flagship rows
+# --------------------------------------------------------------------------
+
+SQL_HTML_MAIN_TEXT = (
+    f"SELECT * FROM '{_FIXTURES_DIR}/html_main_text_golden.parquet'"
+)
+
+
+def q_html_main_text(spark, sf_dir):
+    """Batched HTML main-content extraction over the synthesized
+    interleaved corpus's html spans (kernel/htmlx.py: block
+    segmentation + nav/header/footer/aside tagging + link-density <
+    0.33 + text-density >= 3 + heading adoption — the north rule's
+    Readability/Boilerpipe-style heuristics as a first-class row).
+    One Arrow-batched mapInPandas stage, no shuffle; the golden is a
+    PURE-PYTHON pandas replay of the same kernel
+    (tools/gen_html_golden.py), so the hash match proves the
+    distributed batched path equals plain single-process execution."""
+    from ocr_spark.operators.extract import explode_spans, html_main_text
+
+    docs, _media = _synth_docs_media(spark)
+    sp = (
+        explode_spans(docs)
+        .filter(F.col("kind") == "html")
+        .select("doc_id", "offset", F.col("text").alias("html"))
+    )
+    return html_main_text(sp)
+
+
+# --------------------------------------------------------------------------
 # interleaved multimodal sequence packing (ocr_spark.operators.quality)
 # --------------------------------------------------------------------------
 
@@ -5598,4 +5629,5 @@ CATALOG: dict[str, tuple] = {
     "textstats": (q_textstats, SQL_TEXTSTATS),
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
     "interleaved_pack": (q_interleaved_pack, SQL_INTERLEAVED_PACK),
+    "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
 }

@@ -240,3 +240,31 @@ def test_oversized_pdf_split_covered(synth_dfs):
     assert any(s > OVERSIZE_PAYLOAD_BYTES for s in sizes), (
         "no oversized payload in synth corpus — raise N_DOCS or pages"
     )
+
+
+def test_html_main_text_operator_strips_boilerplate(spark):
+    from ocr_spark.operators.extract import html_main_text
+
+    html = (
+        "<html><head><title>Short t</title><script>var x=1;</script></head>"
+        "<body><nav><a href='/'>Home</a> <a href='/a'>Archive</a></nav>"
+        "<h2>Quarterly report</h2>"
+        "<p>The quarterly revenue grew by twelve percent across "
+        "all regions and the board approved the new budget.</p>"
+        "<aside><a href='/x'>related one</a> <a href='/y'>related two</a></aside>"
+        "<p>tiny</p>"
+        "<footer>Copyright 2025</footer></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("doc-x", 0, html), ("doc-y", 1, "")],
+        "doc_id string, offset int, html string",
+    )
+    rows = {r["doc_id"]: r for r in html_main_text(df).collect()}
+    out = rows["doc-x"]["main_text"]
+    # content kept, heading adopted by the following kept paragraph
+    assert "quarterly revenue grew" in out and out.startswith("Quarterly report")
+    # boilerplate containers and sub-threshold blocks dropped
+    for boiler in ("Home", "Archive", "related one", "Copyright", "tiny", "var x"):
+        assert boiler not in out
+    assert rows["doc-x"]["main_chars"] == len(out)
+    assert rows["doc-y"]["main_text"] == "" and rows["doc-y"]["html_chars"] == 0
