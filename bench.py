@@ -134,6 +134,9 @@ EXTRA = [
     # round-5 (late): standalone batched HTML boilerplate strip (the
     # north rule's text/link-density heuristics as a first-class row)
     "html_main_text",
+    # round-5 (late): span-granular decontamination over the interleaved
+    # view — contaminated text spans drop, media + order survive
+    "decontaminate_spans",
 ]
 
 

@@ -1282,3 +1282,74 @@ def training_export(
     )
     laid = shuffle_global_ids(ex, seed=seed, id_col="example_id", full=True)
     return laid.select(id_col, group_col, "rep", "shard", "pos", "global_id")
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    min_hits: int = 1,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Span-granular decontamination for INTERLEAVED documents: drop
+    only the text spans that share >= ``min_hits`` word n-grams with a
+    benchmark item, keeping clean text spans, every media span, and
+    their original interleaving order — an interleaved corpus should
+    not lose a whole document (and its images) because one caption
+    paragraph overlaps an eval set (contrast :func:`decontaminate`,
+    which drops the full document).
+
+    Returns the input docs with the spans array filtered in place;
+    docs whose every span was contaminated come back with an empty
+    array (callers decide whether an all-text contaminated doc leaves
+    the corpus).
+
+    Scale shape: the bench gram table broadcasts (eval-set-sized), the
+    span gram explode drops non-matching grams map-side, and the
+    contaminated (doc, offset) set — bounded by textual eval overlap —
+    broadcasts back as per-doc drop lists, so the corpus itself NEVER
+    shuffles; the rebuild is a row-local array filter."""
+    sp = docs.select(id_col, F.explode(spans_col).alias("_s")).select(
+        id_col,
+        F.col("_s.offset").alias("offset"),
+        F.col("_s.text").alias(text_col),
+        F.col("_s.media_ref").alias("_ref"),
+    )
+    text_spans = sp.filter(F.col("_ref") == "").select(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("offset").cast("string")
+        ).alias("_sid"),
+        text_col,
+    )
+    sg = word_ngram_hashes(text_spans, text_col, n, "_sid")
+    bg = word_ngram_hashes(bench, text_col, n, bench_id_col)
+    bad = (
+        sg.join(F.broadcast(bg), on="gram")
+        .groupBy("_sid")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") >= min_hits)
+    )
+    drops = (
+        bad.select(F.split(F.col("_sid"), "#").alias("_p"))
+        .select(
+            F.element_at("_p", 1).alias("_did"),
+            F.element_at("_p", 2).cast("int").alias("offset"),
+        )
+        .groupBy("_did")
+        .agg(F.collect_list("offset").alias("_drop"))
+    )
+    joined = docs.join(
+        F.broadcast(drops),
+        on=docs[id_col].cast("string") == drops["_did"],
+        how="left",
+    )
+    empty = F.slice(F.array(F.lit(0).cast("int")), 1, 0)
+    kept = F.filter(
+        F.col(spans_col),
+        lambda s: (s["media_ref"] != "")
+        | ~F.array_contains(F.coalesce(F.col("_drop"), empty), s["offset"]),
+    )
+    return joined.select(docs[id_col].alias(id_col), kept.alias(spans_col))

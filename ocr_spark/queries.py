@@ -5387,9 +5387,10 @@ _SQL_IPACK_NTOK = (
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 ).format(media=_IPACK_MEDIA)
 
-SQL_INTERLEAVED_PACK = f"""
-WITH RECURSIVE
-base AS MATERIALIZED (
+# the interleaved span view shared by the packing and span-decontamination
+# twins: positions are contiguous 0-based per doc, matching the Spark
+# construction's transform index
+_SQL_INTERLEAVED_SPANVIEW = """base AS MATERIALIZED (
   SELECT doc_id, w, CAST(ceil(len(w) / 2.0) AS INT) AS cut, len(w) AS n
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ),
@@ -5408,11 +5409,19 @@ sp AS (
   SELECT doc_id, 3, 'image', '', 'fig:' || CAST(doc_id AS VARCHAR)
   FROM base WHERE doc_id % 3 = 0
 ),
-costed AS MATERIALIZED (
+spanview AS MATERIALIZED (
   SELECT doc_id,
          row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos,
-         kind, media_ref, {_SQL_IPACK_NTOK} AS cost
+         kind, text, media_ref
   FROM sp
+)"""
+
+SQL_INTERLEAVED_PACK = f"""
+WITH RECURSIVE
+{_SQL_INTERLEAVED_SPANVIEW},
+costed AS MATERIALIZED (
+  SELECT doc_id, pos, kind, media_ref, {_SQL_IPACK_NTOK} AS cost
+  FROM spanview
 ),
 packed AS (
   SELECT doc_id, pos, kind, media_ref, cost, 0 AS seq, cost AS used
@@ -5431,6 +5440,52 @@ SELECT doc_id, CAST(seq AS INTEGER) AS seq,
        CAST(sum(CASE WHEN media_ref <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
        string_agg(kind, ',' ORDER BY pos) AS kinds
 FROM packed GROUP BY doc_id, seq
+"""
+
+
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-granular decontamination over the interleaved view: only
+    text spans sharing an 8-gram with the bench corpus are dropped;
+    clean text, every media span, and the interleaving order survive
+    (a whole doc — and its images — should not vanish because one
+    caption overlaps an eval item). Returns the per-doc kept-span
+    manifest; fully-contaminated docs (empty span array) leave the
+    corpus. Bench grams broadcast, the contaminated (doc, offset) set
+    broadcasts back, the corpus never shuffles, and the rebuild is a
+    row-local array filter."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = curation.decontaminate_spans(_interleaved_view(docs), _bench(docs))
+    sp = F.col("spans")
+    return clean.filter(F.size(sp) > 0).select(
+        "doc_id",
+        F.size(sp).cast("long").alias("n_kept"),
+        F.size(F.filter(sp, lambda s: s["media_ref"] != ""))
+        .cast("long")
+        .alias("n_media"),
+        F.array_join(F.transform(sp, lambda s: s["kind"]), ",").alias("kinds"),
+    )
+
+
+SQL_DECONTAMINATE_SPANS = f"""
+WITH
+{_SQL_INTERLEAVED_SPANVIEW},
+tg AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos, md5(array_to_string(w[i:i+7], ' ')) AS g
+  FROM (SELECT doc_id, pos, string_split({_SQL_NORM}, ' ') AS w
+        FROM spanview WHERE media_ref = ''),
+       UNNEST(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+bg AS MATERIALIZED ({_sql_word_grams(_SQL_BENCH_SRC, f"doc_id + {_BENCH_OFFSET}", "bench_id")}),
+badsp AS MATERIALIZED (SELECT DISTINCT t.doc_id, t.pos FROM tg t JOIN bg b USING (g)),
+kept AS (
+  SELECT s.* FROM spanview s
+  LEFT JOIN badsp b ON s.doc_id = b.doc_id AND s.pos = b.pos
+  WHERE s.media_ref <> '' OR b.pos IS NULL
+)
+SELECT doc_id, count(*) AS n_kept,
+       CAST(sum(CASE WHEN media_ref <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       string_agg(kind, ',' ORDER BY pos) AS kinds
+FROM kept GROUP BY doc_id
 """
 
 
@@ -5630,4 +5685,5 @@ CATALOG: dict[str, tuple] = {
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
     "interleaved_pack": (q_interleaved_pack, SQL_INTERLEAVED_PACK),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
+    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
 }

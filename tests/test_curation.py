@@ -677,3 +677,48 @@ def test_shuffle_global_ids_matches_global_sort(spark):
     # equals the single global window it decomposes: shard-major+pos order
     by_global = sorted(rows, key=lambda r: r["global_id"])
     assert by_global == sorted(rows, key=lambda r: (r["shard"], r["pos"]))
+
+
+def _idocs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def test_decontaminate_spans_drops_only_contaminated_text(spark):
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    clean = "one two three four five six seven eight nine ten"
+    docs = _idocs(
+        spark,
+        [
+            (0, [("text", clean, "", 0), ("image", "", "img:0", 1),
+                 ("text", f"prefix {leak} suffix", "", 2)]),
+            (1, [("text", leak, "", 0)]),
+            (2, [("text", clean, "", 0)]),
+        ],
+    )
+    bench = spark.createDataFrame(
+        [(9000, f"unrelated {leak} words")], "bench_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in curation.decontaminate_spans(docs, bench).collect()
+    }
+    # doc 0: contaminated text span at offset 2 dropped, media + clean kept in order
+    assert [(s["kind"], s["offset"]) for s in out[0]] == [("text", 0), ("image", 1)]
+    # doc 1: fully contaminated -> empty array (caller decides its fate)
+    assert out[1] == []
+    # doc 2: untouched
+    assert [s["offset"] for s in out[2]] == [0]
+
+
+def test_decontaminate_spans_min_hits_threshold(spark):
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # exactly one 8-gram
+    docs = _idocs(spark, [(0, [("text", leak, "", 0)])])
+    bench = spark.createDataFrame([(9000, leak)], "bench_id long, text string")
+    # one shared gram: dropped at min_hits=1, kept at min_hits=2
+    assert curation.decontaminate_spans(docs, bench).collect()[0]["spans"] == []
+    kept = curation.decontaminate_spans(docs, bench, min_hits=2).collect()
+    assert [s["offset"] for s in kept[0]["spans"]] == [0]
