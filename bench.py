@@ -137,6 +137,9 @@ EXTRA = [
     # round-5 (late): span-granular decontamination over the interleaved
     # view — contaminated text spans drop, media + order survive
     "decontaminate_spans",
+    # round-5 (late): CLIP-style image-text pair mining (nearest text
+    # neighbors per media span) — row-local nested HOFs, zero shuffle
+    "media_captions",
 ]
 
 

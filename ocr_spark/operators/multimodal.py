@@ -285,3 +285,67 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_ref", "frame_no", "payload"])
 
     return media.mapInPandas(_map, schema=FRAMES)
+
+
+def media_captions(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CLIP-style image-text pair mining from interleaved documents:
+    one row per media span with its nearest preceding and following
+    text spans — the caption candidates multimodal contrastive
+    training harvests from interleaved corpora (images usually sit
+    between the prose that describes them).
+
+    Emits ``(doc_id, pos, media_ref, cap_before, cap_after)``; the
+    caption columns are NULL when no text span exists on that side.
+
+    Scale shape: entirely row-local — one ``transform`` indexes the
+    spans array, nested higher-order lambdas scan it per media element
+    (spans-per-doc is bounded, so the O(n²) per-row scan is constant
+    work), and ``explode`` emits the pairs. ZERO shuffle, zero Python;
+    the stage inherits upstream partitioning and is a stateless
+    streaming drop-in."""
+    from pyspark.sql import functions as F
+
+    staged = docs.select(
+        id_col,
+        F.transform(
+            spans_col,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("i"),
+            ),
+        ).alias("_sx"),
+    )
+    sx = F.col("_sx")
+    pairs = F.transform(
+        F.filter(sx, lambda s: s["media_ref"] != ""),
+        lambda m: F.struct(
+            m["i"].alias("pos"),
+            m["media_ref"].alias("media_ref"),
+            F.try_element_at(
+                F.filter(
+                    sx, lambda t: (t["media_ref"] == "") & (t["i"] < m["i"])
+                ),
+                F.lit(-1),
+            )["text"].alias("cap_before"),
+            F.try_element_at(
+                F.filter(
+                    sx, lambda t: (t["media_ref"] == "") & (t["i"] > m["i"])
+                ),
+                F.lit(1),
+            )["text"].alias("cap_after"),
+        ),
+    )
+    out = staged.select(id_col, F.explode(pairs).alias("_p"))
+    return out.select(
+        id_col,
+        F.col("_p")["pos"].alias("pos"),
+        F.col("_p")["media_ref"].alias("media_ref"),
+        F.col("_p")["cap_before"].alias("cap_before"),
+        F.col("_p")["cap_after"].alias("cap_after"),
+    )

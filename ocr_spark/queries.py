@@ -5443,6 +5443,33 @@ FROM packed GROUP BY doc_id, seq
 """
 
 
+def q_media_captions(spark, sf_dir):
+    """CLIP-style image-text pair mining over the interleaved view:
+    one row per media span with its nearest preceding/following text
+    span (the caption candidates contrastive training harvests from
+    interleaved corpora). Row-local nested HOFs over the spans array —
+    zero shuffle, zero Python; the twin resolves the same neighbors
+    with correlated order-by-limit-1 subqueries per media span."""
+    from ocr_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.media_captions(_interleaved_view(docs))
+
+
+SQL_MEDIA_CAPTIONS = f"""
+WITH
+{_SQL_INTERLEAVED_SPANVIEW}
+SELECT m.doc_id, CAST(m.pos AS INTEGER) AS pos, m.media_ref,
+       (SELECT t.text FROM spanview t
+        WHERE t.doc_id = m.doc_id AND t.media_ref = '' AND t.pos < m.pos
+        ORDER BY t.pos DESC LIMIT 1) AS cap_before,
+       (SELECT t.text FROM spanview t
+        WHERE t.doc_id = m.doc_id AND t.media_ref = '' AND t.pos > m.pos
+        ORDER BY t.pos ASC LIMIT 1) AS cap_after
+FROM spanview m WHERE m.media_ref <> ''
+"""
+
+
 def q_decontaminate_spans(spark, sf_dir):
     """Span-granular decontamination over the interleaved view: only
     text spans sharing an 8-gram with the bench corpus are dropped;
@@ -5686,4 +5713,5 @@ CATALOG: dict[str, tuple] = {
     "interleaved_pack": (q_interleaved_pack, SQL_INTERLEAVED_PACK),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
+    "media_captions": (q_media_captions, SQL_MEDIA_CAPTIONS),
 }

@@ -102,3 +102,28 @@ def test_audio_backend_seam(spark, audio):
         assert out["bad-aud"]["n_samples"] == 3
     finally:
         spark.sparkContext.setLocalProperty(mm.AUDIO_BACKEND_PROP, None)
+
+
+def test_media_captions_nearest_text_neighbors(spark):
+    from ocr_spark.operators.multimodal import media_captions
+
+    df = spark.createDataFrame(
+        [
+            (0, [("text", "intro", "", 0), ("image", "", "img:a", 1),
+                 ("text", "caption after", "", 2), ("image", "", "img:b", 3)]),
+            (1, [("image", "", "solo", 0)]),
+            (2, [("text", "no media", "", 0)]),
+        ],
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = {
+        (r["doc_id"], r["pos"]): (r["media_ref"], r["cap_before"], r["cap_after"])
+        for r in media_captions(df).collect()
+    }
+    assert rows == {
+        (0, 1): ("img:a", "intro", "caption after"),
+        # img:b adopts the same text span as its before-neighbor; no after
+        (0, 3): ("img:b", "caption after", None),
+        (1, 0): ("solo", None, None),  # media with no prose at all
+    }  # doc 2 (no media) emits nothing
