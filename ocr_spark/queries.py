@@ -5538,16 +5538,30 @@ CATALOG: dict[str, tuple] = {
     "ocr_words": (q_ocr_words, SQL_OCR_WORDS),
     "ocr_word_confidence": (q_ocr_word_confidence, SQL_OCR_WORD_CONFIDENCE),
     # -- r05 rotation: sketch family (first driver check)
+    # (final-session swap: kmv_tokens_by_lang, length_quantiles,
+    # cluster_size_hist, unigram_model_score, repetition_stats_local,
+    # dedup_lines_local moved just below the window — each has an
+    # in-window sibling exercising the same machinery
+    # (kmv_distinct_tokens / hist_quantiles / unigram_logprob) or a
+    # driver-green r04 sibling plus a pytest equivalence gate
+    # (near_dup_clusters / repetition_stats / dedup_lines) — so the six
+    # NEVER-checked north-rule interleaved + boilerplate rows
+    # (html_main_text, interleaved_pack, decontaminate_spans,
+    # media_captions, boilerplate_stats, remove_boilerplate) get their
+    # only possible hard driver check in this final round.)
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT_TOKENS),
-    "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
-    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
-    "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
+    # -- r05 rotation: north-rule interleaved family (first driver check)
+    "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
+    "interleaved_pack": (q_interleaved_pack, SQL_INTERLEAVED_PACK),
+    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
+    "media_captions": (q_media_captions, SQL_MEDIA_CAPTIONS),
+    "boilerplate_stats": (q_boilerplate_stats, SQL_BOILERPLATE_STATS),
+    "remove_boilerplate": (q_remove_boilerplate, SQL_REMOVE_BOILERPLATE),
     # -- r05 rotation: text signals / LM (first driver check)
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
-    "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
     "bigram_score": (q_bigram_score, SQL_BIGRAM_SCORE),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
@@ -5574,8 +5588,6 @@ CATALOG: dict[str, tuple] = {
     # -- r05 rotation: sampling + equivalence twins (first driver check)
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
-    "repetition_stats_local": (q_repetition_stats_local, SQL_REPETITION_STATS),
-    "dedup_lines_local": (q_dedup_lines_local, SQL_DEDUP_LINES),
     "pack_chunks_shuffled": (q_pack_chunks_shuffled, SQL_PACK_CHUNKS_SHUFFLED),
     # -- re-confirmation slots: once-green family representatives
     # (round-5 session swap: domain_mixture + mixture_materialize — a
@@ -5620,7 +5632,15 @@ CATALOG: dict[str, tuple] = {
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     # ---------------- below the driver's 50-row window ----------------
     # (all driver-green in r03/r04; still fully oracle-verified, plus the
-    # round-5 late additions nb_model_head and dup_spans_incremental)
+    # round-5 late additions nb_model_head and dup_spans_incremental and
+    # the six final-session swap-outs — every row here keeps the
+    # identical pytest oracle contract regardless of position)
+    "kmv_tokens_by_lang": (q_kmv_tokens_by_lang, SQL_KMV_TOKENS_BY_LANG),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
+    "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
+    "repetition_stats_local": (q_repetition_stats_local, SQL_REPETITION_STATS),
+    "dedup_lines_local": (q_dedup_lines_local, SQL_DEDUP_LINES),
     "nb_model_head": (q_nb_model_head, SQL_NB_MODEL_HEAD),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
@@ -5673,8 +5693,6 @@ CATALOG: dict[str, tuple] = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
-    "boilerplate_stats": (q_boilerplate_stats, SQL_BOILERPLATE_STATS),
-    "remove_boilerplate": (q_remove_boilerplate, SQL_REMOVE_BOILERPLATE),
     "remove_boilerplate_local": (q_remove_boilerplate_local, SQL_REMOVE_BOILERPLATE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -5710,8 +5728,4 @@ CATALOG: dict[str, tuple] = {
     "amount_lattice": (q_amount_lattice, SQL_AMOUNT_LATTICE),
     "textstats": (q_textstats, SQL_TEXTSTATS),
     "sessionize_scalable": (q_sessionize_scalable, SQL_SESSIONIZE),
-    "interleaved_pack": (q_interleaved_pack, SQL_INTERLEAVED_PACK),
-    "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
-    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
-    "media_captions": (q_media_captions, SQL_MEDIA_CAPTIONS),
 }
