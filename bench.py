@@ -140,6 +140,11 @@ EXTRA = [
     # round-5 (late): CLIP-style image-text pair mining (nearest text
     # neighbors per media span) — row-local nested HOFs, zero shuffle
     "media_captions",
+    # round-5 (final session): the two canonical web-corpus cleaning
+    # recipes — Gopher rule battery + C4 line/page cleaning, both
+    # row-local zero-shuffle HOF pipelines over the marked lined view
+    "gopher_rules",
+    "c4_clean",
 ]
 
 

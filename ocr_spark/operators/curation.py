@@ -1353,3 +1353,86 @@ def decontaminate_spans(
         | ~F.array_contains(F.coalesce(F.col("_drop"), empty), s["offset"]),
     )
     return joined.select(docs[id_col].alias(id_col), kept.alias(spans_col))
+
+
+# --------------------------------------------------------------------------
+# C4-style line/page cleaning (Raffel et al. 2020, §2.2)
+# --------------------------------------------------------------------------
+
+
+def c4_clean(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning pass: per-line retention rules + page-level drops.
+
+    Line rules (a line survives iff ALL hold):
+
+    * ends in a terminal punctuation mark (``.``, ``!``, ``?``, ``"``);
+    * contains at least ``min_line_words`` words;
+    * does not contain the word "javascript" (case-insensitive).
+
+    Page rules (``kept`` is false and ``clean_text`` empty iff ANY
+    holds):
+
+    * fewer than ``min_kept_lines`` surviving lines (C4's "fewer than 3
+      sentences" approximated at line granularity — the public C4 code
+      applies the sentence test to retained lines);
+    * contains "lorem ipsum" (case-insensitive);
+    * contains a curly brace ``{`` (code page).
+
+    C4's final step — removing any three-sentence span occurring more
+    than once in the corpus — is the corpus-level dedup this engine
+    already ships separately (:func:`substring_dedup`,
+    ``quality.remove_boilerplate``); this operator is the row-local
+    cleaning half, so it composes with those under one scan.
+
+    Scale shape: zero shuffle — the line array is staged once as a
+    projected column (HOF re-evaluation trap), the filter + re-join are
+    JVM higher-order functions, and the page flags are plain column
+    predicates.  Emits (id, kept, n_lines, n_kept, clean_text) with
+    ``clean_text`` empty (never NULL) on dropped pages, so downstream
+    writers keep a stable schema.
+    """
+    txt = F.col(text_col)
+    staged = documents.select(
+        id_col,
+        text_col,
+        F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "").alias("_lines"),
+    )
+    lines = F.col("_lines")
+
+    def _line_ok(l: Column) -> Column:
+        words = F.filter(F.split(F.trim(l), " "), lambda w: w != "")
+        return (
+            l.rlike('[.!?"]\\s*$')
+            & (F.size(words) >= min_line_words)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept_lines = staged.select(
+        id_col,
+        text_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.filter(lines, _line_ok).alias("_kept"),
+    )
+    page_ok = (
+        (F.size(F.col("_kept")) >= min_kept_lines)
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return kept_lines.select(
+        id_col,
+        page_ok.alias("kept"),
+        "n_lines",
+        F.when(page_ok, F.size(F.col("_kept")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.when(page_ok, F.array_join(F.col("_kept"), "\n"))
+        .otherwise(F.lit(""))
+        .alias("clean_text"),
+    )

@@ -1448,3 +1448,141 @@ def pack_interleaved(
         F.col("_s")["n_media"].alias("n_media"),
         F.col("_s")["kinds"].alias("kinds"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, Appendix A1.1)
+# --------------------------------------------------------------------------
+
+# the 8 "must contain at least 2" function words from the Gopher filter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _ratio_flag(num: Column, den: Column, threshold: float, *, le: bool) -> Column:
+    """Exact-integer evaluation of ``num/den <= threshold`` (or ``>=``).
+
+    Thresholds are small decimals (0.1, 0.9, 0.3, 0.8); comparing
+    ``num * t_den <= den * t_num`` in integer space keeps the flag
+    bit-identical across engines — a float division can land exactly on
+    the threshold and let the last ulp of the engine's arithmetic decide
+    the boolean (the corpus_stats grid-rounding lesson, generalized).
+    """
+    from fractions import Fraction
+
+    t = Fraction(threshold).limit_denominator(10_000)
+    lhs, rhs = num * t.denominator, den * t.numerator
+    return (lhs <= rhs) if le else (lhs >= rhs)
+
+
+def gopher_rules(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality statistics + rule flags.
+
+    The non-repetition half of the Gopher web-corpus filter (Rae et al.
+    2021 §A1.1; the repetition half is :func:`repetition_stats` /
+    :func:`dup_ngram_stats`): word-count band, mean-word-length band,
+    symbol-to-word ratio (``#`` and ellipsis), bullet-start and
+    ellipsis-end line fractions, alphabetic-word fraction, and the
+    ≥2-of-8 function-word requirement.  Emits one row per document with
+    the raw counts, the derived ratios, one boolean per rule, and the
+    conjunctive ``keep``.
+
+    Scale shape: entirely row-local — the token and line arrays are
+    STAGED as projected columns (the HOF-lambda re-evaluation trap:
+    an inline ``split(...)`` referenced inside ``F.filter``/
+    ``F.aggregate`` re-evaluates per element), every count is a plain
+    JVM higher-order function, and no shuffle happens at all; on a
+    cluster this pipelines with the scan.  All rule booleans compare in
+    exact integer space (see :func:`_ratio_flag`) so the DuckDB twin
+    replays them bit-for-bit.
+    """
+    txt = F.col(text_col)
+    staged = documents.select(
+        id_col,
+        text_col,
+        F.filter(
+            F.split(dedup.normalized(txt), " "), lambda w: w != ""
+        ).alias("_toks"),
+        F.filter(
+            F.split(txt, "\n"), lambda l: F.trim(l) != ""
+        ).alias("_lines"),
+        # '#' occurrences + non-overlapping '...' runs + unicode ellipsis
+        (
+            (F.length(txt) - F.length(F.expr(f"replace({text_col}, '#', '')")))
+            + (
+                (F.length(txt) - F.length(F.expr(f"replace({text_col}, '...', '')")))
+                / F.lit(3)
+            ).cast("long")
+            + (F.length(txt) - F.length(F.expr(f"replace({text_col}, '…', '')")))
+        ).cast("long").alias("n_symbols"),
+    )
+    toks, lines = F.col("_toks"), F.col("_lines")
+    counted = staged.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("sum_word_chars"),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long").alias(
+            "n_alpha_words"
+        ),
+        sum(
+            F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+        ).cast("long").alias("stop_hits"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*[-•*] "))
+        ).cast("long").alias("n_bullet_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("long").alias("n_ellipsis_lines"),
+        F.col("n_symbols"),
+    )
+    n_w, n_l = F.col("n_words"), F.col("n_lines")
+    flags = counted.select(
+        "*",
+        (n_w >= min_words).alias("ok_min_words"),
+        (n_w <= max_words).alias("ok_max_words"),
+        (
+            (F.col("sum_word_chars") >= n_w * min_mean_word_len)
+            & (F.col("sum_word_chars") <= n_w * max_mean_word_len)
+        ).alias("ok_mean_word_len"),
+        _ratio_flag(
+            F.col("n_symbols"), n_w, max_symbol_word_ratio, le=True
+        ).alias("ok_symbol_ratio"),
+        _ratio_flag(
+            F.col("n_bullet_lines"), n_l, max_bullet_line_frac, le=True
+        ).alias("ok_bullet_lines"),
+        _ratio_flag(
+            F.col("n_ellipsis_lines"), n_l, max_ellipsis_line_frac, le=True
+        ).alias("ok_ellipsis_lines"),
+        _ratio_flag(
+            F.col("n_alpha_words"), n_w, min_alpha_word_frac, le=False
+        ).alias("ok_alpha_words"),
+        (F.col("stop_hits") >= min_stop_hits).alias("ok_stop_words"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_min_words")
+            & F.col("ok_max_words")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_bullet_lines")
+            & F.col("ok_ellipsis_lines")
+            & F.col("ok_alpha_words")
+            & F.col("ok_stop_words")
+        ).alias("keep"),
+    )

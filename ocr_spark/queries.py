@@ -2586,6 +2586,162 @@ LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# Deterministic "web-page" decoration of the lined view, identical in
+# both engines, so the Gopher/C4 page-quality rules see every rule
+# trigger at least somewhere: doc_id%4 picks a per-line marking (all
+# lines bulleted / every other line ellipsis-ended / all lines
+# period-terminated / untouched), and small doc_id-keyed appendices
+# plant function words, "lorem ipsum", a code line with braces, a
+# javascript mention, and '#' symbol runs.
+_STOPLINE = "the value of that story and with more to come have it be told."
+_JSLINE = "this line mentions javascript and five more words here."
+
+
+def _marked(docs: DataFrame) -> DataFrame:
+    lined = _lined(docs)
+    d = F.col("doc_id")
+    arr = F.split(F.col("text"), "\n")
+    lines = F.transform(
+        arr,
+        lambda l, i: F.when(d % 4 == 1, F.concat(F.lit("- "), l))
+        .when((d % 4 == 2) & (i % 2 == 0), F.concat(l, F.lit("...")))
+        .when(d % 4 == 0, F.concat(l, F.lit(".")))
+        .otherwise(l),
+    )
+    extras = F.concat(
+        F.when(d % 3 == 0, F.lit("\n" + _STOPLINE)).otherwise(F.lit("")),
+        F.when(d % 11 == 5, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 13 == 6, F.lit("\nvar x = { y: 1 };")).otherwise(F.lit("")),
+        F.when(d % 17 == 7, F.lit("\n" + _JSLINE)).otherwise(F.lit("")),
+        F.when(d % 7 == 3, F.lit("\n# # #")).otherwise(F.lit("")),
+    )
+    return lined.select(
+        "doc_id", F.concat(F.array_join(lines, "\n"), extras).alias("text")
+    )
+
+
+_SQL_MARKED = f"""
+aug AS ({_SQL_LINED}),
+mls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
+marked AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(generate_series(1, len(arr)),
+             i -> CASE
+               WHEN doc_id % 4 = 1 THEN '- ' || arr[i]
+               WHEN doc_id % 4 = 2 AND (i - 1) % 2 = 0 THEN arr[i] || '...'
+               WHEN doc_id % 4 = 0 THEN arr[i] || '.'
+               ELSE arr[i] END),
+           chr(10))
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_STOPLINE}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 5 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+         || CASE WHEN doc_id % 13 = 6 THEN chr(10) || 'var x = {{ y: 1 }};' ELSE '' END
+         || CASE WHEN doc_id % 17 = 7 THEN chr(10) || '{_JSLINE}' ELSE '' END
+         || CASE WHEN doc_id % 7 = 3 THEN chr(10) || '# # #' ELSE '' END AS text
+  FROM mls)
+"""
+
+
+_GOPHER_MIN_WORDS = 20  # the soup corpus runs 10-99 words/doc; Gopher's 50
+# would fail half the table for length alone and mask the other rules
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1) over the marked
+    view: per-doc counts + one boolean per rule + conjunctive keep.
+    Integer-only output — every flag compares in exact integer space,
+    so there is no float/rounding surface at the driver seam."""
+    return quality.gopher_rules(
+        _marked(_t(spark, sf_dir, "documents")), min_words=_GOPHER_MIN_WORDS
+    )
+
+
+def _sql_ratio_flag(num: str, den: str, threshold: float, le: bool) -> str:
+    from fractions import Fraction
+
+    t = Fraction(threshold).limit_denominator(10_000)
+    op = "<=" if le else ">="
+    return f"({num}) * {t.denominator} {op} ({den}) * {t.numerator}"
+
+
+SQL_GOPHER_RULES = f"""
+WITH {_SQL_MARKED},
+staged AS (
+  SELECT doc_id,
+         list_filter(string_split({_SQL_NORM}, ' '), w -> w <> '') AS tk,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ln,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+         + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols
+  FROM marked
+),
+counts AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(tk, w -> length(w))), 0) AS BIGINT) AS sum_word_chars,
+         CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST({" + ".join(f"CAST(list_contains(tk, '{w}') AS INT)" for w in ("the", "be", "to", "of", "and", "that", "have", "with"))} AS BIGINT) AS stop_hits,
+         CAST(len(ln) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-•*] '))) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(ln, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+         n_symbols
+  FROM staged
+),
+flags AS (
+  SELECT *,
+         n_words >= {_GOPHER_MIN_WORDS} AS ok_min_words,
+         n_words <= 100000 AS ok_max_words,
+         (sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10) AS ok_mean_word_len,
+         {_sql_ratio_flag("n_symbols", "n_words", 0.1, True)} AS ok_symbol_ratio,
+         {_sql_ratio_flag("n_bullet_lines", "n_lines", 0.9, True)} AS ok_bullet_lines,
+         {_sql_ratio_flag("n_ellipsis_lines", "n_lines", 0.3, True)} AS ok_ellipsis_lines,
+         {_sql_ratio_flag("n_alpha_words", "n_words", 0.8, False)} AS ok_alpha_words,
+         stop_hits >= 2 AS ok_stop_words
+  FROM counts
+)
+SELECT *,
+       (ok_min_words AND ok_max_words AND ok_mean_word_len AND ok_symbol_ratio
+        AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+        AND ok_stop_words) AS keep
+FROM flags
+"""
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 cleaning pass (Raffel et al. 2020 §2.2) over the marked view:
+    terminal-punctuation + ≥5-word + no-javascript line retention, page
+    drops for lorem-ipsum / braces / <3 surviving lines."""
+    return curation.c4_clean(_marked(_t(spark, sf_dir, "documents")))
+
+
+SQL_C4_CLEAN = f"""
+WITH {_SQL_MARKED},
+cl AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ln
+  FROM marked
+),
+k AS (
+  SELECT doc_id,
+         CAST(len(ln) AS BIGINT) AS n_lines,
+         list_filter(ln, l ->
+           regexp_matches(l, '[.!?"]\\s*$')
+           AND len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept_l,
+         contains(lower(text), 'lorem ipsum') AS lorem,
+         contains(text, '{{') AS brace
+  FROM cl
+),
+pg AS (SELECT *, (len(kept_l) >= 3 AND NOT lorem AND NOT brace) AS kept FROM k)
+SELECT doc_id, kept, n_lines,
+       CAST(CASE WHEN kept THEN len(kept_l) ELSE 0 END AS BIGINT) AS n_kept,
+       CASE WHEN kept THEN array_to_string(kept_l, chr(10)) ELSE '' END AS clean_text
+FROM pg
+"""
+
+
 _PACK_BUDGET = 512
 _PACK_SHARDS = 8
 
@@ -5641,6 +5797,11 @@ CATALOG: dict[str, tuple] = {
     "unigram_model_score": (q_unigram_model_score, SQL_UNIGRAM_MODEL_SCORE),
     "repetition_stats_local": (q_repetition_stats_local, SQL_REPETITION_STATS),
     "dedup_lines_local": (q_dedup_lines_local, SQL_DEDUP_LINES),
+    # final-session additions: the two canonical web-corpus cleaning
+    # recipes (Gopher rule battery, C4 line/page cleaning) — added after
+    # the window froze, so their hard gate is the pytest oracle contract
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "nb_model_head": (q_nb_model_head, SQL_NB_MODEL_HEAD),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
