@@ -10,7 +10,8 @@
         [--nb-reference <dir> [--nb-min-margin 0.0] [--nb-vocab 50000]] \
         [--split train=0.9,val=0.05,test=0.05] \
         [--mix-budget 10000000000 --mix-temperature 0.7] \
-        [--shuffle [--global-ids]]
+        [--shuffle [--global-ids]] \
+        [--c4] [--gopher [--gopher-min-words 50] [--gopher-min-stop-hits 2]]
 
 Runs the composed curation chain — quality gate → exact dedup → MinHash-
 LSH near-dup keep-one → benchmark decontamination — over a documents
@@ -124,6 +125,28 @@ def main() -> None:
         "global sort; the index a training run logs and resumes by)",
     )
     ap.add_argument(
+        "--c4",
+        action="store_true",
+        help="apply the C4 line/page cleaning pass (Raffel et al. 2020 "
+        "§2.2) before curation: text replaced by the surviving lines, "
+        "dropped pages removed — row-local, runs before anything "
+        "shuffles",
+    )
+    ap.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the Gopher §A1.1 quality-rule battery before "
+        "curation (keep==true survivors only) — row-local pre-filter",
+    )
+    ap.add_argument("--gopher-min-words", type=int, default=50)
+    ap.add_argument(
+        "--gopher-min-stop-hits",
+        type=int,
+        default=2,
+        help="Gopher function-word requirement (set 0 for corpora "
+        "without English function words)",
+    )
+    ap.add_argument(
         "--split",
         default=None,
         help="label survivors with a deterministic dataset split, e.g. "
@@ -148,6 +171,32 @@ def main() -> None:
         bench = bench.orderBy("bench_id").limit(args.bench_limit)
 
     t0 = time.monotonic()
+    raw_docs = docs  # input_docs must count the PRE-filter input
+    # the two row-local web-cleaning recipes run FIRST (cheapest-first:
+    # both are zero-shuffle, so every shuffling stage downstream sees
+    # the smaller, cleaner corpus). C4 before Gopher — the rule battery
+    # should judge the text a trainer would actually see.
+    if args.c4:
+        cleaned = curation.c4_clean(docs)
+        docs = docs.drop("text").join(
+            cleaned.filter(F.col("kept")).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            on="doc_id",
+        )
+    if args.gopher:
+        from ocr_spark.operators import quality as _q
+
+        flags = _q.gopher_rules(
+            docs,
+            min_words=args.gopher_min_words,
+            min_stop_hits=args.gopher_min_stop_hits,
+        )
+        docs = docs.join(
+            flags.filter(F.col("keep")).select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
     survivors = curation.curate_corpus(
         docs,
         bench.select("bench_id", "text"),
@@ -254,7 +303,7 @@ def main() -> None:
         stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
     )
     stats["wall_sec"] = round(time.monotonic() - t0, 3)
-    stats["input_docs"] = docs.count()
+    stats["input_docs"] = raw_docs.count()
     if mixture_plan is not None:
         stats["mixture"] = mixture_plan
     if args.funnel:
