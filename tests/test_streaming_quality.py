@@ -460,3 +460,35 @@ def test_nb_model_stream_equals_batch(spark, tmp_path):
     assert m_stream is not None
     m_batch = quality.nb_model(docs, label_col="source", vocab_size=200)
     assert _key(m_stream.collect()) == _key(m_batch.collect())
+
+
+def test_gopher_rules_stream_equals_batch(spark, tmp_path):
+    """gopher_rules is pure row-local column logic -> runs UNCHANGED on
+    a streaming frame; rows across micro-batches == one batch pass."""
+    from ocr_spark.operators.quality import gopher_rules
+
+    src, docs = _write_batched(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = _run_stream(
+        spark,
+        gopher_rules(stream, min_words=10, min_stop_hits=0),
+        tmp_path,
+        "gopher_stream",
+    ).collect()
+    want = gopher_rules(docs, min_words=10, min_stop_hits=0).collect()
+    assert _keyed(got) == _keyed(want)
+    assert len(got) == docs.count()
+
+
+def test_c4_clean_stream_equals_batch(spark, tmp_path):
+    from ocr_spark.operators.curation import c4_clean
+
+    src, docs = _write_batched(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = _run_stream(spark, c4_clean(stream), tmp_path, "c4_stream").collect()
+    want = c4_clean(docs).collect()
+    assert _keyed(got) == _keyed(want)
