@@ -145,6 +145,10 @@ EXTRA = [
     # row-local zero-shuffle HOF pipelines over the marked lined view
     "gopher_rules",
     "c4_clean",
+    # round-5 (final session): interleaved modality profile + CAS media
+    # payload dedup (fingerprints projected first — payloads never shuffle)
+    "interleaved_stats",
+    "media_dedup",
 ]
 
 

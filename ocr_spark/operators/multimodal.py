@@ -349,3 +349,74 @@ def media_captions(
         F.col("_p")["cap_before"].alias("cap_before"),
         F.col("_p")["cap_after"].alias("cap_after"),
     )
+
+
+def interleaved_stats(
+    docs: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-kind corpus profile of an interleaved span table.
+
+    One row per span kind with span count, distinct-document coverage,
+    character mass, and text-token mass (media spans carry 0 tokens —
+    their training cost is the packer's fixed projector budget, not a
+    token count).  The audit a multimodal corpus build runs before
+    packing/mixing: modality balance, text:image ratios, and
+    docs-with-media coverage all read off this table.
+
+    Scale shape: the explode is a map-side flatten and the aggregation
+    is a keyed agg on KIND (a handful of groups) with map-side partial
+    combine and the distinct-doc count two-phase (doc_id, kind) →
+    kind, so only tiny partials shuffle; the spans payload itself never
+    does.  All outputs are exact integers — no float crosses the
+    driver seam.
+    """
+    from pyspark.sql import functions as F
+
+    s = docs.select(F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("s"))
+    txt = F.trim(F.col("s.text"))
+    ntok = (
+        F.when(F.col("s.media_ref") != "", F.lit(0))
+        .when(F.length(txt) == 0, F.lit(0))
+        .otherwise(F.size(F.split(txt, r"\s+")))
+    )
+    per_doc = s.groupBy("doc_id", F.col("s.kind").alias("kind")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.length(F.col("s.text"))).alias("_chars"),
+        F.sum(ntok).alias("_toks"),
+    )
+    return per_doc.groupBy("kind").agg(
+        F.sum("_n").cast("long").alias("n_spans"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.sum("_toks").cast("long").alias("total_tokens"),
+    )
+
+
+def media_dedup(
+    media: DataFrame, ref_col: str = "media_ref", payload_col: str = "payload"
+) -> DataFrame:
+    """Content-addressed payload dedup over a media side table.
+
+    Groups payloads by md5 fingerprint and reports the reference count,
+    byte size, and the canonical keeper ref (min) per distinct payload
+    — the storage-dedup / CAS audit for image-heavy corpora, where the
+    same image is referenced from many crawled pages.
+
+    Scale shape: the fingerprint + length are projected FIRST, so the
+    binary payloads never shuffle — the keyed agg moves only (16-byte
+    md5, partial count, min ref, length) partials.  Downstream, joining
+    ``keeper_ref`` back on the span table rewrites duplicate refs to
+    the canonical copy without touching payload bytes.
+    """
+    from pyspark.sql import functions as F
+
+    fp = media.select(
+        F.md5(payload_col).alias("payload_md5"),
+        F.length(payload_col).cast("long").alias("n_bytes"),
+        F.col(ref_col).alias("_ref"),
+    )
+    return fp.groupBy("payload_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.min("_ref").alias("keeper_ref"),
+        F.max("n_bytes").alias("n_bytes"),
+    )

@@ -5672,6 +5672,56 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q_interleaved_stats(spark, sf_dir):
+    """Per-kind modality profile of the interleaved corpus (span count,
+    doc coverage, char + text-token mass) — the audit a multimodal
+    build runs before packing/mixing. Exact-integer output."""
+    from ocr_spark.operators.multimodal import interleaved_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return interleaved_stats(_interleaved_view(docs))
+
+
+SQL_INTERLEAVED_STATS = f"""
+WITH
+{_SQL_INTERLEAVED_SPANVIEW},
+tok AS (
+  SELECT doc_id, kind, length(text) AS chars,
+         CASE WHEN media_ref <> '' THEN 0
+              WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok
+  FROM spanview
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens
+FROM tok GROUP BY kind
+"""
+
+
+def q_media_dedup(spark, sf_dir):
+    """Content-addressed media payload dedup (CAS audit): md5 refcount
+    + canonical keeper per distinct payload. Duplicates planted
+    deterministically — a salted-md5 band of refs is re-referenced
+    under a second name (a crawl page re-embedding the same image) —
+    then golden-pinned (payload bytes are synthesized Python-side, so
+    no SQL can recompute them; the pin proves the distributed grouped
+    fingerprinting byte-for-byte)."""
+    from ocr_spark.operators.multimodal import media_dedup
+
+    _docs, media = _synth_docs_media(spark)
+    extra = media.filter(F.md5("media_ref").substr(1, 1) < "6").select(
+        F.concat(F.col("media_ref"), F.lit(":b")).alias("media_ref"),
+        "payload",
+    )
+    return media_dedup(media.unionByName(extra))
+
+
+SQL_MEDIA_DEDUP = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_dedup_golden.parquet'"
+
+
 CATALOG: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     #
@@ -5802,6 +5852,8 @@ CATALOG: dict[str, tuple] = {
     # the window froze, so their hard gate is the pytest oracle contract
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
+    "interleaved_stats": (q_interleaved_stats, SQL_INTERLEAVED_STATS),
+    "media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
     "nb_model_head": (q_nb_model_head, SQL_NB_MODEL_HEAD),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),

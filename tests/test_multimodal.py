@@ -127,3 +127,38 @@ def test_media_captions_nearest_text_neighbors(spark):
         (0, 3): ("img:b", "caption after", None),
         (1, 0): ("solo", None, None),  # media with no prose at all
     }  # doc 2 (no media) emits nothing
+
+
+def test_interleaved_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [("text", "one two three", "", 0), ("image", "", "img:a", 1),
+                 ("text", "four five", "", 2)]),
+            (1, [("image", "", "img:b", 0), ("image", "", "img:c", 1)]),
+            (2, [("text", "   ", "", 0)]),  # blank text span: 0 tokens
+        ],
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = {r["kind"]: r.asDict() for r in mm.interleaved_stats(df).collect()}
+    assert rows["text"]["n_spans"] == 3 and rows["text"]["n_docs"] == 2
+    assert rows["text"]["total_tokens"] == 5  # 3 + 2 + 0
+    assert rows["text"]["total_chars"] == len("one two three") + len("four five") + 3
+    assert rows["image"]["n_spans"] == 3 and rows["image"]["n_docs"] == 2
+    assert rows["image"]["total_tokens"] == 0
+
+
+def test_media_dedup_refcounts_and_keeper(spark):
+    rows = [
+        ("ref:b", bytearray(b"payload-one")),
+        ("ref:a", bytearray(b"payload-one")),  # same bytes, earlier ref
+        ("ref:c", bytearray(b"payload-two")),
+    ]
+    out = {
+        r["keeper_ref"]: r.asDict()
+        for r in mm.media_dedup(spark.createDataFrame(rows, MEDIA)).collect()
+    }
+    assert len(out) == 2
+    assert out["ref:a"]["n_refs"] == 2  # keeper is the MIN ref
+    assert out["ref:a"]["n_bytes"] == len(b"payload-one")
+    assert out["ref:c"]["n_refs"] == 1

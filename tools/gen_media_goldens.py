@@ -24,6 +24,7 @@ def main() -> None:
     from ocr_spark.queries import (
         q_audio_features,
         q_audio_resample,
+        q_media_dedup,
         q_media_features,
         q_media_frame_sample,
         q_media_resize,
@@ -38,6 +39,7 @@ def main() -> None:
             ("media_frame_sample", q_media_frame_sample, ["media_ref", "frame_no"]),
             ("audio_features", q_audio_features, ["media_ref"]),
             ("audio_resample", q_audio_resample, ["media_ref"]),
+            ("media_dedup", q_media_dedup, ["payload_md5"]),
         ]:
             out = fn(spark, sf_dir="unused")
             with tempfile.TemporaryDirectory() as tmp:
