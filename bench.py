@@ -149,6 +149,9 @@ EXTRA = [
     # payload dedup (fingerprints projected first — payloads never shuffle)
     "interleaved_stats",
     "media_dedup",
+    # round-5 (final session): packed-sequence payload export (the
+    # multimodal training example itself; greedy scan re-derived)
+    "interleaved_export",
 ]
 
 

@@ -1450,6 +1450,114 @@ def pack_interleaved(
     )
 
 
+def pack_interleaved_export(
+    docs: DataFrame,
+    budget: int = 64,
+    media_tokens: int = 24,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PAYLOAD form of :func:`pack_interleaved` — one row per packed
+    sequence with the material a multimodal loader actually consumes:
+    the sequence's in-order text (space-joined text spans) and its
+    in-order media refs (comma-joined), plus the token cost.  The
+    manifest row tells the loader how much it will cost; this row IS
+    the training example (text with projector slots resolved through
+    ``media_refs`` against the media side table).
+
+    Deliberately a standalone sibling, not a refactor: the greedy scan
+    is repeated verbatim so the driver-checked manifest row stays
+    byte-identical, and a consistency test asserts (doc, seq,
+    n_tokens) equality between the two — a stronger guarantee than
+    shared code, because it re-derives the assignment independently.
+
+    Same scale shape as the manifest form: row-local JVM HOFs over the
+    staged arrays, ZERO shuffle, zero Python."""
+    sp = F.col("_spans")
+    cost_of = lambda s: (  # noqa: E731
+        F.when(s["media_ref"] != "", F.lit(media_tokens))
+        .otherwise(token_count(s["text"]))
+        .cast("int")
+    )
+    staged = docs.select(
+        id_col,
+        F.col(spans_col).alias("_spans"),
+    ).select(
+        id_col,
+        "_spans",
+        F.transform(sp, cost_of).alias("_costs"),
+    )
+    zero = F.lit(0).cast("int")
+    init = F.struct(
+        F.slice(F.array(zero), 1, 0).alias("seqs"),
+        zero.alias("seq"),
+        zero.alias("used"),
+    )
+
+    def _step(acc, c):
+        roll = (acc["used"] + c > budget) & (acc["used"] > 0)
+        seq = F.when(roll, acc["seq"] + 1).otherwise(acc["seq"]).cast("int")
+        used = F.when(roll, c).otherwise(acc["used"] + c).cast("int")
+        return F.struct(
+            F.concat(acc["seqs"], F.array(seq)).alias("seqs"),
+            seq.alias("seq"),
+            used.alias("used"),
+        )
+
+    packed = staged.select(
+        id_col,
+        "_spans",
+        "_costs",
+        F.aggregate("_costs", init, _step)["seqs"].alias("_seqs"),
+    )
+    seqs, costs = F.col("_seqs"), F.col("_costs")
+    per_seq = F.transform(
+        F.sequence(F.lit(0), F.try_element_at(seqs, F.lit(-1))),
+        lambda q: F.struct(
+            q.cast("int").alias("seq"),
+            F.array_join(
+                F.filter(
+                    F.zip_with(
+                        sp,
+                        seqs,
+                        lambda s, sq: F.when(
+                            (sq == q) & (s["media_ref"] == ""), s["text"]
+                        ),
+                    ),
+                    lambda t: t.isNotNull(),
+                ),
+                " ",
+            ).alias("text"),
+            F.array_join(
+                F.filter(
+                    F.zip_with(
+                        sp,
+                        seqs,
+                        lambda s, sq: F.when(
+                            (sq == q) & (s["media_ref"] != ""), s["media_ref"]
+                        ),
+                    ),
+                    lambda r: r.isNotNull(),
+                ),
+                ",",
+            ).alias("media_refs"),
+            F.aggregate(
+                F.zip_with(costs, seqs, lambda c, s: F.when(s == q, c).otherwise(0)),
+                F.lit(0).cast("long"),
+                lambda a, c: a + c,
+            ).alias("n_tokens"),
+        ),
+    )
+    out = packed.select(id_col, F.explode(per_seq).alias("_s"))
+    return out.select(
+        id_col,
+        F.col("_s")["seq"].alias("seq"),
+        F.col("_s")["text"].alias("text"),
+        F.col("_s")["media_refs"].alias("media_refs"),
+        F.col("_s")["n_tokens"].alias("n_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gopher document-quality rules (Rae et al. 2021, Appendix A1.1)
 # --------------------------------------------------------------------------

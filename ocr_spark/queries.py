@@ -5599,6 +5599,44 @@ FROM packed GROUP BY doc_id, seq
 """
 
 
+def q_interleaved_export(spark, sf_dir):
+    """The payload form of interleaved_pack: one row per packed sequence
+    with its in-order text and media refs — the training example a
+    multimodal loader consumes (manifest row = cost; this row = the
+    sequence). Standalone greedy re-derivation; a pytest asserts
+    (doc, seq, n_tokens) consistency with the manifest."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality.pack_interleaved_export(
+        _interleaved_view(docs), budget=_IPACK_BUDGET, media_tokens=_IPACK_MEDIA
+    )
+
+
+SQL_INTERLEAVED_EXPORT = f"""
+WITH RECURSIVE
+{_SQL_INTERLEAVED_SPANVIEW},
+costed AS MATERIALIZED (
+  SELECT doc_id, pos, kind, text, media_ref, {_SQL_IPACK_NTOK} AS cost
+  FROM spanview
+),
+packed AS (
+  SELECT doc_id, pos, kind, text, media_ref, cost, 0 AS seq, cost AS used
+  FROM costed WHERE pos = 0
+  UNION ALL
+  SELECT c.doc_id, c.pos, c.kind, c.text, c.media_ref, c.cost,
+         CASE WHEN p.used + c.cost > {_IPACK_BUDGET} AND p.used > 0
+              THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.used + c.cost > {_IPACK_BUDGET} AND p.used > 0
+              THEN c.cost ELSE p.used + c.cost END
+  FROM packed p JOIN costed c ON c.doc_id = p.doc_id AND c.pos = p.pos + 1
+)
+SELECT doc_id, CAST(seq AS INTEGER) AS seq,
+       coalesce(string_agg(CASE WHEN media_ref = '' THEN text END, ' ' ORDER BY pos), '') AS text,
+       coalesce(string_agg(CASE WHEN media_ref <> '' THEN media_ref END, ',' ORDER BY pos), '') AS media_refs,
+       CAST(sum(cost) AS BIGINT) AS n_tokens
+FROM packed GROUP BY doc_id, seq
+"""
+
+
 def q_media_captions(spark, sf_dir):
     """CLIP-style image-text pair mining over the interleaved view:
     one row per media span with its nearest preceding/following text
@@ -5854,6 +5892,7 @@ CATALOG: dict[str, tuple] = {
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     "interleaved_stats": (q_interleaved_stats, SQL_INTERLEAVED_STATS),
     "media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
+    "interleaved_export": (q_interleaved_export, SQL_INTERLEAVED_EXPORT),
     "nb_model_head": (q_nb_model_head, SQL_NB_MODEL_HEAD),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),

@@ -720,3 +720,53 @@ def test_pack_interleaved_empty_and_zero_cost_spans(spark):
     assert {r["doc_id"] for r in rows} == {1}
     got = {r["seq"]: (r["n_spans"], r["n_tokens"]) for r in rows}
     assert got == {0: (2, 3), 1: (1, 2)}
+
+
+def test_pack_interleaved_export_payload(spark):
+    # same fixture as the manifest test: the export must carry the
+    # sequence's in-order text and media refs
+    df = _spans_df(
+        spark,
+        [
+            (0, [("text", "one two three", "", 0), ("image", "", "img:0", 1),
+                 ("text", "four five", "", 2)]),
+            (2, [("image", "", "a", 0), ("image", "", "b", 1)]),
+        ],
+    )
+    out = quality.pack_interleaved_export(df, budget=30, media_tokens=24)
+    got = {
+        (r["doc_id"], r["seq"]): (r["text"], r["media_refs"], r["n_tokens"])
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 0): ("one two three four five", "img:0", 29),
+        (2, 0): ("", "a", 24),
+        (2, 1): ("", "b", 24),
+    }
+
+
+def test_pack_interleaved_export_consistent_with_manifest(spark):
+    # the export re-derives the greedy assignment independently; on the
+    # corpus-shaped interleaved view (budget/media as in the catalog)
+    # its (doc, seq, n_tokens) must equal the manifest's exactly
+    from ocr_spark.queries import (
+        _IPACK_BUDGET,
+        _IPACK_MEDIA,
+        _interleaved_view,
+        _t,
+    )
+
+    view = _interleaved_view(_t(spark, "/root/testdata/sf0.001", "documents"))
+    man = {
+        (r["doc_id"], r["seq"]): r["n_tokens"]
+        for r in quality.pack_interleaved(
+            view, budget=_IPACK_BUDGET, media_tokens=_IPACK_MEDIA
+        ).collect()
+    }
+    exp = {
+        (r["doc_id"], r["seq"]): r["n_tokens"]
+        for r in quality.pack_interleaved_export(
+            view, budget=_IPACK_BUDGET, media_tokens=_IPACK_MEDIA
+        ).collect()
+    }
+    assert man == exp and len(man) > 0
