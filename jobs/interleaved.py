@@ -7,6 +7,7 @@
         [--bench <parquet> --ngram 8 --min-hits 1] \
         [--budget 2048 --media-tokens 64] \
         [--captions-out /data/captions] [--clean-out /data/clean_docs] \
+        [--export-out /data/examples] \
         [--buckets 64]
 
 Reads the interleaved documents table (doc_id, spans[]) and runs the
@@ -67,6 +68,13 @@ def main() -> None:
         default=None,
         help="also write the decontaminated interleaved table itself",
     )
+    ap.add_argument(
+        "--export-out",
+        default=None,
+        help="also write the packed-sequence PAYLOAD table (per-sequence "
+        "in-order text + media refs — the training examples themselves) "
+        "through the same checkpointed sink",
+    )
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--master", default=None, help="override (default: env/local)")
     args = ap.parse_args()
@@ -100,6 +108,14 @@ def main() -> None:
     for flag, frame in [
         (args.captions_out, media_captions(docs) if args.captions_out else None),
         (args.clean_out, docs if args.clean_out else None),
+        (
+            args.export_out,
+            quality.pack_interleaved_export(
+                docs, budget=args.budget, media_tokens=args.media_tokens
+            )
+            if args.export_out
+            else None,
+        ),
     ]:
         if flag:
             s = checkpointed_write(
