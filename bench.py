@@ -152,6 +152,11 @@ EXTRA = [
     # round-5 (final session): packed-sequence payload export (the
     # multimodal training example itself; greedy scan re-derived)
     "interleaved_export",
+    # round-5 (final session): BPE tokenizer training — 30 merge
+    # iterations (one pair-agg job each) over the word-TYPE table; cost
+    # is iteration-count-bound, not corpus-bound (bpe_segment re-learns
+    # then segments, so only the learner is benched)
+    "bpe_merges",
 ]
 
 

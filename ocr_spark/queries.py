@@ -5760,6 +5760,52 @@ def q_media_dedup(spark, sf_dir):
 SQL_MEDIA_DEDUP = f"SELECT * FROM '{_MEDIA_GOLDEN_DIR}/media_dedup_golden.parquet'"
 
 
+# BPE tokenizer training (Sennrich et al. 2016) over the synthesized
+# corpus (sf-independent, like every golden-pinned row). The goldens are
+# generated by the PURE-PYTHON reference (tests/ref_bpe.py via
+# tools/gen_bpe_golden.py), so the hash match proves the distributed
+# learner equals the textbook single-process algorithm — not shared code.
+_BPE_MERGES, _BPE_MIN_COUNT = 30, 2
+
+
+def _bpe_corpus(spark):
+    docs, _media = _synth_docs_media(spark)
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("spans"), lambda s: s["text"]), " "
+        ).alias("text"),
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (rank, left, right, pair_count): one
+    corpus pass to word types, then n_merges iterations of pair-agg +
+    one-row argmax collect + row-local fold merge."""
+    from ocr_spark.operators import bpe
+
+    return bpe.bpe_learn(
+        _bpe_corpus(spark), n_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT
+    )
+
+
+SQL_BPE_MERGES = f"SELECT * FROM '{_FIXTURES_DIR}/bpe_merges_golden.parquet'"
+
+
+def q_bpe_segment(spark, sf_dir):
+    """Vocabulary segmentation under the FROZEN learned merges:
+    (word, cnt, tokens, n_tokens); the pandas UDF runs over word TYPES
+    (Heaps-sublinear), never the corpus."""
+    from ocr_spark.operators import bpe
+
+    c = _bpe_corpus(spark)
+    merges = bpe.bpe_learn(c, n_merges=_BPE_MERGES, min_count=_BPE_MIN_COUNT)
+    return bpe.bpe_segment(c, merges)
+
+
+SQL_BPE_SEGMENT = f"SELECT * FROM '{_FIXTURES_DIR}/bpe_segment_golden.parquet'"
+
+
 CATALOG: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql | None)
     #
@@ -5893,6 +5939,8 @@ CATALOG: dict[str, tuple] = {
     "interleaved_stats": (q_interleaved_stats, SQL_INTERLEAVED_STATS),
     "media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
     "interleaved_export": (q_interleaved_export, SQL_INTERLEAVED_EXPORT),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_segment": (q_bpe_segment, SQL_BPE_SEGMENT),
     "nb_model_head": (q_nb_model_head, SQL_NB_MODEL_HEAD),
     "dup_ngram_stats": (q_dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "incremental_exact_dedup": (q_incremental_exact_dedup, SQL_INCREMENTAL_EXACT_DEDUP),
