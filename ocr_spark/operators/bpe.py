@@ -104,9 +104,33 @@ def bpe_learn(
     lexicographic — deterministic under any partitioning), fold the
     merge into the symbol arrays, localCheckpoint.  Driver holds only
     the merge list."""
-    spark = corpus.sparkSession
-    wt = word_type_counts(corpus, text_col=text_col, id_col=id_col).select(
-        "word", "cnt", _initial_symbols(F.col("word")).alias("syms")
+    return bpe_learn_from_counts(
+        word_type_counts(corpus, text_col=text_col, id_col=id_col),
+        n_merges=n_merges,
+        min_count=min_count,
+    )
+
+
+def bpe_learn_from_counts(
+    counts: DataFrame,
+    n_merges: int = 40,
+    min_count: int = 2,
+    word_col: str = "word",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """The learner over a PRECOMPUTED ``(word, cnt)`` statistic — word
+    counts are additive across deliveries, so this composes with the
+    maintained token-count state
+    (``streaming/quality.py::token_stats_stream_writer``): the
+    tokenizer artifact re-learns per delivery at type-table cost with
+    NO corpus rescan (``bpe_merges_from_state``), the same
+    maintained-statistic loop as the incremental embeddings and the
+    unigram/NB models."""
+    spark = counts.sparkSession
+    wt = counts.select(
+        F.col(word_col).alias("word"),
+        F.col(cnt_col).alias("cnt"),
+        _initial_symbols(F.col(word_col)).alias("syms"),
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []

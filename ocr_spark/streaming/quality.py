@@ -200,3 +200,24 @@ def nb_model_from_state(
         vocab_size=vocab_size,
         alpha=alpha,
     )
+
+
+def bpe_merges_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    n_merges: int = 40,
+    min_count: int = 2,
+) -> DataFrame | None:
+    """The BPE merge table learned from the streaming token-stats state
+    — equal to batch ``bpe.bpe_learn`` over every document committed so
+    far (word counts are additive across deliveries), at type-table
+    cost with no corpus rescan: the tokenizer artifact as a MAINTAINED
+    table, refreshable per delivery."""
+    from ocr_spark.operators.bpe import bpe_learn_from_counts
+
+    tc = read_sketch_state(spark, state_dir)
+    if tc is None:
+        return None
+    return bpe_learn_from_counts(
+        tc, n_merges=n_merges, min_count=min_count, word_col="tok"
+    )

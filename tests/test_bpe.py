@@ -74,3 +74,18 @@ def test_segment_matches_reference(spark):
         for w, (toks, cnt) in ref_bpe.segment(wc, merges).items()
     }
     assert got == want
+
+
+def test_learn_from_counts_equals_learn(spark):
+    # the loop over a precomputed statistic == the end-to-end learner
+    # (word_type_counts and quality.token_counts compute the identical
+    # normalized statistic, so either feeds it)
+    from ocr_spark.operators import quality
+
+    texts = ["low low low low low", "lower lower newest newest", "widest newest"]
+    c = _corpus(spark, texts)
+    direct = bpe.bpe_learn(c, n_merges=6).orderBy("rank").collect()
+    via_counts = bpe.bpe_learn_from_counts(
+        quality.token_counts(c, "text"), n_merges=6, word_col="tok"
+    ).orderBy("rank").collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in via_counts]

@@ -492,3 +492,38 @@ def test_c4_clean_stream_equals_batch(spark, tmp_path):
     got = _run_stream(spark, c4_clean(stream), tmp_path, "c4_stream").collect()
     want = c4_clean(docs).collect()
     assert _keyed(got) == _keyed(want)
+
+
+def test_bpe_merges_from_stream_state_equals_batch(spark, tmp_path):
+    """The tokenizer artifact as a maintained table: BPE merges learned
+    from the streamed token-count state equal the batch learner over
+    the full committed corpus."""
+    from ocr_spark.operators.bpe import bpe_learn
+    from ocr_spark.streaming.quality import (
+        bpe_merges_from_state,
+        token_stats_stream_writer,
+    )
+
+    src, docs = _write_batched(spark, tmp_path)
+    state = str(tmp_path / "bpe_tok_state")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        token_stats_stream_writer(stream, "text", state)
+        .option("checkpointLocation", str(tmp_path / "ck_bpe_tok"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "streaming query did not drain in time"
+
+    got = [
+        tuple(r)
+        for r in bpe_merges_from_state(spark, state, n_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = [
+        tuple(r) for r in bpe_learn(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == want and len(want) == 8
