@@ -124,3 +124,38 @@ def test_c4_javascript_line_filtered_page_survives(spark):
     assert row["kept"] is True
     assert row["n_kept"] == 3  # the js line is filtered, page survives
     assert "javascript" not in row["clean_text"]
+
+
+def test_ratio_flag_integer_exactness(spark):
+    """The integer cross-multiplication must agree with exact-rational
+    comparison on every (num, den) pair — including values landing
+    EXACTLY on the threshold, where a float division's last ulp could
+    flip the boolean."""
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.quality import _ratio_flag
+
+    cases = [
+        (n, d)
+        for n in range(0, 40)
+        for d in (1, 3, 7, 10, 20, 30, 37)
+    ]
+    df = spark.createDataFrame(cases, "num long, den long")
+    for thr in (0.1, 0.3, 0.8, 0.9):
+        got = {
+            (r["num"], r["den"]): (r["le"], r["ge"])
+            for r in df.select(
+                "num",
+                "den",
+                _ratio_flag(F.col("num"), F.col("den"), thr, le=True).alias("le"),
+                _ratio_flag(F.col("num"), F.col("den"), thr, le=False).alias("ge"),
+            ).collect()
+        }
+        t = Fraction(thr).limit_denominator(10_000)
+        for n, d in cases:
+            assert got[(n, d)] == (
+                Fraction(n, d) <= t if d else n * t.denominator <= 0,
+                Fraction(n, d) >= t if d else n * t.denominator >= 0,
+            ), (n, d, thr)
